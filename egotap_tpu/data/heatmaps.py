@@ -1,0 +1,178 @@
+"""Host-side (numpy) heatmap target rendering — golden reference twins.
+
+These functions replicate the reference's CPU target-rendering semantics
+exactly (constants, truncation behavior, boundary modes):
+
+  * ``coord2d_to_heatmap``: Gaussian peak render, sigma=1, a 4*sigma margin
+    trick, peak normalized to 1.0 via the discrete-kernel constant
+    (reference utils/projection.py:263-279).
+  * ``line_aa``: Xiaolin Wu anti-aliased line with integer endpoints
+    (skimage.draw.line_aa-compatible; the reference calls skimage at
+    utils/data.py:174-185).
+  * ``limb_data``: per-bone AA line heatmaps + pixel lengths (+1.0) +
+    elevation angles (reference utils/data.py:197-252).
+  * ``sin_limb_heatmaps``: (cos, sin)-modulated limb channels
+    (reference dataloader/data_loader.py:193-199).
+
+The on-device JAX equivalents live in `egotap_tpu.data.device_render`; unit
+tests assert exact agreement between the two.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import numpy as np
+from scipy.ndimage import gaussian_filter
+
+# Peak value of a discrete 2D Gaussian (sigma=1, radius=4) kernel; dividing
+# by it normalizes rendered peaks to exactly 1.0
+# (reference utils/projection.py:235, 278).
+GAUSSIAN_PEAK = 0.15915589174187972
+
+COORD_SPACE = 1024.0  # 2D joint coordinates live in 1024x1024 pixel space.
+
+
+def gaussian_kernel1d(sigma: float = 1.0, radius: int = 4) -> np.ndarray:
+    """scipy.ndimage's discrete Gaussian kernel (normalized to sum 1)."""
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    phi = np.exp(-0.5 / (sigma * sigma) * x ** 2)
+    return phi / phi.sum()
+
+
+def coord2d_to_heatmap(coord2d: np.ndarray, res: int = 64,
+                       sigma: float = 1.0) -> np.ndarray:
+    """Render per-joint Gaussian-peak heatmaps.
+
+    coord2d: (J, 2) pixel coordinates in 1024-space. Returns (J, res, res)
+    float32 with in-view peaks == 1.0. Exact reference semantics, including
+    int() truncation toward zero and the asymmetric in-view test
+    (-4 <= y < res+4 but -4 <= x < res).
+    """
+    hm = np.zeros((coord2d.shape[0], res, res), dtype=np.float32)
+    margin = int(4 * sigma)
+    margin_res = res + margin * 2
+    for i in range(coord2d.shape[0]):
+        pos = coord2d[i] / COORD_SPACE * res
+        x, y = pos[0], pos[1]
+        expanded = np.zeros((margin_res, margin_res), dtype=np.float32)
+        if -4 <= y < res + 4 and -4 <= x < res:
+            expanded[int(y) + margin, int(x) + margin] = 1.0
+        expanded = gaussian_filter(expanded, sigma=sigma)
+        hm[i] = expanded[margin:-margin, margin:-margin]
+    hm /= GAUSSIAN_PEAK
+    return hm
+
+
+def line_aa(r0: int, c0: int, r1: int, c1: int
+            ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Anti-aliased line (Wu's method) with integer endpoints.
+
+    Returns (rr, cc, val) index/weight arrays, skimage.draw.line_aa-style.
+    """
+    r0, c0, r1, c1 = int(r0), int(c0), int(r1), int(c1)
+    steep = abs(r1 - r0) > abs(c1 - c0)
+    if steep:
+        r0, c0, r1, c1 = c0, r0, c1, r1
+    if c0 > c1:
+        r0, c0, r1, c1 = r1, c1, r0, c0
+
+    dc = c1 - c0
+    grad = (r1 - r0) / dc if dc != 0 else 0.0
+
+    cs = np.arange(c0, c1 + 1)
+    ys = r0 + grad * (cs - c0)
+    fl = np.floor(ys)
+    frac = ys - fl
+    fl = fl.astype(np.int64)
+
+    rr = np.concatenate([fl, fl + 1])
+    cc = np.concatenate([cs, cs])
+    val = np.concatenate([1.0 - frac, frac])
+
+    if steep:
+        rr, cc = cc, rr
+    return rr, cc, val.astype(np.float64)
+
+
+def line_heatmap(p_coord: np.ndarray, coord: np.ndarray,
+                 res: int = 64) -> np.ndarray:
+    """Rasterize one AA line segment into a (res, res) image.
+
+    p_coord/coord are float (x, y) pixel positions in res-space; they are
+    rounded to the nearest integer first (reference utils/data.py:175-185;
+    indexing is image[y, x] with out-of-range pixels dropped).
+    """
+    img = np.zeros((res, res), dtype=np.float64)
+    p = np.rint(np.asarray(p_coord)).astype(int)
+    q = np.rint(np.asarray(coord)).astype(int)
+    rr, cc, val = line_aa(p[0], p[1], q[0], q[1])
+    ok = (rr >= 0) & (rr <= res - 1) & (cc >= 0) & (cc <= res - 1)
+    img[cc[ok], rr[ok]] = val[ok]
+    return img
+
+
+def limb_data(pts2d: np.ndarray, pts3d: np.ndarray, parents: np.ndarray,
+              res: int = 64, sigma: float = 1.0
+              ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-bone limb heatmaps, pixel lengths and elevation angles.
+
+    pts2d: (J, 2) in 1024-space; pts3d: (J, 3); parents: (J,) kinematic
+    parents. Returns:
+      heatmaps (J-1, res, res) float32 — blurred AA lines (constant-mode
+        Gaussian, scaled by sigma),
+      lengths (J-1,) float32 — ||p2d_parent - p2d_child||/divider + 1.0,
+      theta (J-1,) float32 — arctan(dz / ||dxy||) of parent - child in 3D.
+
+    Reference: utils/data.py:197-252 (htype='line', area == res).
+    """
+    num_joints = len(parents)
+    heatmaps = np.zeros((num_joints - 1, res, res), dtype=np.float32)
+    lengths = np.zeros(num_joints - 1, dtype=np.float32)
+    theta = np.zeros(num_joints - 1, dtype=np.float32)
+    divider = COORD_SPACE / res
+
+    for joint in range(1, num_joints):
+        b = joint - 1
+        parent = parents[joint]
+        p_coord = pts2d[parent] / divider
+        coord = pts2d[joint] / divider
+
+        limb_3d = pts3d[parent] - pts3d[joint]
+        theta[b] = np.arctan(limb_3d[2] / np.linalg.norm(limb_3d[:2]))
+        lengths[b] = np.linalg.norm(p_coord - coord) + 1.0
+
+        img = line_heatmap(p_coord, coord, res)
+        img = gaussian_filter(img, sigma=sigma, mode="constant")
+        heatmaps[b] = img * sigma
+
+    return heatmaps, lengths, theta
+
+
+def sin_limb_heatmaps(raw_limb: np.ndarray, theta: np.ndarray
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """(cos, sin)-modulated limb channel pair ("sin" heatmap type).
+
+    raw_limb: (L, H, W) already x2-scaled limb maps; theta: (L,).
+    Reference dataloader/data_loader.py:193-199.
+    """
+    cos_hm = raw_limb * np.cos(theta)[:, None, None]
+    sin_hm = raw_limb * np.sin(theta)[:, None, None]
+    return cos_hm, sin_hm
+
+
+def pose_image(camera_pose_2d: np.ndarray, parents: np.ndarray,
+               res: int = 64) -> np.ndarray:
+    """Full-skeleton line image (reference utils/projection.py:194-237,
+    weight_depth=False path): per-bone AA lines max-combined, blurred,
+    peak-normalized, x0.01."""
+    img = np.zeros((res, res), dtype=np.float64)
+    for joint in range(1, len(parents)):
+        line = line_heatmap(
+            np.rint(camera_pose_2d[parents[joint]] * res / COORD_SPACE),
+            np.rint(camera_pose_2d[joint] * res / COORD_SPACE), res)
+        img = np.maximum(img, line)
+    img = gaussian_filter(img, sigma=1)
+    img /= GAUSSIAN_PEAK
+    return img * 0.01

@@ -1,0 +1,150 @@
+import numpy as np
+import pytest
+from scipy.ndimage import gaussian_filter
+
+from egotap_tpu.core.skeleton import get_skeleton
+from egotap_tpu.data import heatmaps as H
+from egotap_tpu.data import device_render as D
+
+
+def _random_pose_2d(rng, n, spread=900.0, off=60.0):
+    return rng.uniform(off, off + spread, size=(n, 2))
+
+
+class TestJointHeatmapsNumpy:
+    def test_peak_is_one(self, rng):
+        coords = np.array([[512.0, 512.0], [160.0, 800.0]])
+        hm = H.coord2d_to_heatmap(coords)
+        assert hm.shape == (2, 64, 64)
+        np.testing.assert_allclose(hm.max(axis=(1, 2)), 1.0, rtol=1e-6)
+
+    def test_peak_location(self):
+        coords = np.array([[512.0, 256.0]])  # x=512->32, y=256->16
+        hm = H.coord2d_to_heatmap(coords)
+        assert np.unravel_index(hm[0].argmax(), hm[0].shape) == (16, 32)
+
+    def test_out_of_view_empty(self):
+        coords = np.array([[-200.0, 512.0], [512.0, 2000.0], [1030.0, 512.0]])
+        hm = H.coord2d_to_heatmap(coords)
+        # x=1030 -> 64.375 >= res -> dropped (asymmetric condition)
+        assert np.all(hm == 0.0)
+
+    def test_margin_edge(self):
+        # y slightly negative: int() truncates toward zero -> row 0
+        coords = np.array([[512.0, -8.0]])  # y=-0.5 -> int -> 0
+        hm = H.coord2d_to_heatmap(coords)
+        assert hm[0].max() == pytest.approx(1.0, rel=1e-6)
+        assert np.unravel_index(hm[0].argmax(), hm[0].shape)[0] == 0
+
+
+class TestDeviceJointHeatmaps:
+    def test_matches_numpy(self, rng):
+        coords = np.concatenate([
+            _random_pose_2d(rng, 40),
+            np.array([[512.0, -8.0], [-200.0, 512.0], [512.0, 2000.0],
+                      [1030.0, 512.0], [0.0, 0.0], [1023.0, 1023.0],
+                      [-63.9, -63.9], [1023.9, 1087.0]]),
+        ])
+        want = H.coord2d_to_heatmap(coords)
+        got = np.asarray(D.render_joint_heatmaps(coords))
+        np.testing.assert_allclose(got, want, atol=2e-6)
+
+    def test_batched_shape(self, rng):
+        coords = rng.uniform(0, 1024, size=(3, 15, 2))
+        got = D.render_joint_heatmaps(coords)
+        assert got.shape == (3, 15, 64, 64)
+
+
+class TestLineAA:
+    def test_endpoints_full_intensity(self):
+        rr, cc, val = H.line_aa(1, 1, 8, 4)
+        img = np.zeros((10, 10))
+        img[rr, cc] = val
+        assert img[1, 1] == 1.0 and img[8, 4] == 1.0
+
+    def test_horizontal_line(self):
+        rr, cc, val = H.line_aa(3, 1, 3, 7)
+        img = np.zeros((10, 10))
+        ok = val > 0
+        img[rr[ok], cc[ok]] = val[ok]
+        np.testing.assert_allclose(img[3, 1:8], 1.0)
+        assert img.sum() == pytest.approx(7.0)
+
+    def test_diagonal_line(self):
+        rr, cc, val = H.line_aa(0, 0, 5, 5)
+        img = np.zeros((6, 6))
+        ok = (rr >= 0) & (rr < 6) & (cc >= 0) & (cc < 6)
+        img[rr[ok], cc[ok]] = val[ok]
+        np.testing.assert_allclose(np.diag(img), 1.0)
+
+    def test_degenerate_point(self):
+        rr, cc, val = H.line_aa(2, 2, 2, 2)
+        img = np.zeros((5, 5))
+        img[rr, cc] = val
+        assert img[2, 2] == 1.0 and img.sum() == 1.0
+
+    def test_wu_intensity_conservation(self):
+        # for each major-axis column, the two pixel weights sum to 1
+        rr, cc, val = H.line_aa(0, 0, 3, 11)
+        for c in range(12):
+            assert val[cc == c].sum() == pytest.approx(1.0)
+
+
+class TestLimbData:
+    def _pose(self, rng, preset="UnrealEgo"):
+        sk = get_skeleton(preset)
+        pts3d = rng.normal(size=(sk.num_joints, 3)) * 20 + np.array([0, 0, -40.0])
+        pts2d = rng.uniform(0, 1024, size=(sk.num_joints, 2))
+        return sk, pts2d, pts3d
+
+    def test_shapes_and_lengths(self, rng):
+        sk, pts2d, pts3d = self._pose(rng)
+        hm, lengths, theta = H.limb_data(pts2d, pts3d, sk.parents_array())
+        assert hm.shape == (15, 64, 64)
+        assert np.all(lengths >= 1.0)
+        assert np.all(np.abs(theta) <= np.pi / 2 + 1e-6)
+
+    def test_theta_formula(self, rng):
+        sk, pts2d, pts3d = self._pose(rng)
+        _, _, theta = H.limb_data(pts2d, pts3d, sk.parents_array())
+        d = pts3d[sk.parents_array()[1:]] - pts3d[1:]
+        want = np.arctan(d[:, 2] / np.linalg.norm(d[:, :2], axis=-1))
+        np.testing.assert_allclose(theta, want, rtol=1e-6)
+
+    def test_device_matches_numpy(self, rng):
+        sk, pts2d, pts3d = self._pose(rng)
+        want_hm, want_len, want_theta = H.limb_data(pts2d, pts3d, sk.parents_array())
+        got_hm, got_len = D.render_limb_heatmaps(pts2d, sk.parents)
+        got_theta = D.limb_theta(pts3d, sk.parents)
+        np.testing.assert_allclose(np.asarray(got_hm), want_hm, atol=3e-6)
+        np.testing.assert_allclose(np.asarray(got_len), want_len, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_theta), want_theta, rtol=2e-4, atol=1e-5)
+
+    def test_device_out_of_view_bones(self):
+        sk = get_skeleton("UnrealEgo")
+        pts2d = np.full((16, 2), -500.0)
+        hm, _ = D.render_limb_heatmaps(pts2d, sk.parents)
+        assert np.all(np.asarray(hm) == 0.0)
+
+    def test_device_batched(self, rng):
+        sk = get_skeleton("EgoCap")
+        pts2d = rng.uniform(0, 1024, size=(2, 18, 2))
+        hm, lengths = D.render_limb_heatmaps(pts2d, sk.parents)
+        assert hm.shape == (2, 17, 64, 64)
+        assert lengths.shape == (2, 17)
+        # each batch element matches the per-sample numpy twin
+        for i in range(2):
+            want_hm, want_len, _ = H.limb_data(
+                pts2d[i], np.ones((18, 3)), sk.parents_array())
+            np.testing.assert_allclose(np.asarray(hm[i]), want_hm, atol=3e-6)
+
+
+class TestSinMaps:
+    def test_modulation(self, rng):
+        raw = rng.random(size=(15, 64, 64)).astype(np.float32)
+        theta = rng.uniform(-1.5, 1.5, size=15).astype(np.float32)
+        cn, sn = H.sin_limb_heatmaps(raw, theta)
+        dn_c, dn_s = D.sin_limb_heatmaps(raw, theta)
+        np.testing.assert_allclose(np.asarray(dn_c), cn, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(dn_s), sn, rtol=1e-6)
+        np.testing.assert_allclose(np.sqrt(cn ** 2 + sn ** 2), raw, atol=1e-5)
