@@ -109,25 +109,26 @@ def _fc_stack(state: Dict[str, np.ndarray], b: VariableBuilder,
 
 
 def convert_vit(state: Dict[str, np.ndarray], b: VariableBuilder,
-                torch_prefix: str, flax_prefix: str, num_layers: int) -> None:
+                torch_prefix: str, flax_path: Tuple[str, ...],
+                num_layers: int) -> None:
     """Vendored-HF ViT weights (reference model/modeling_vit.py) ->
     `egotap_tpu.models.vit.GridViT` params."""
     p = torch_prefix
-    b.raw(state[p + "embeddings.mask_token"][0, 0], flax_prefix, "mask_token")
+    b.raw(state[p + "embeddings.mask_token"][0, 0], *flax_path, "mask_token")
     b.raw(state[p + "embeddings.position_embeddings"][0],
-          flax_prefix, "pos_embed")
+          *flax_path, "pos_embed")
     # patch conv (C, hidden, 16, 16) applied stride-16: equivalent dense on
     # flattened patch pixels, ordered (c, ph, pw)
     w = state[p + "embeddings.patch_embeddings.projection.weight"]
     hidden = w.shape[0]
     b.raw(np.ascontiguousarray(
         w.transpose(1, 2, 3, 0).reshape(-1, hidden)),
-        flax_prefix, "patch_proj", "kernel")
+        *flax_path, "patch_proj", "kernel")
     b.raw(state[p + "embeddings.patch_embeddings.projection.bias"],
-          flax_prefix, "patch_proj", "bias")
+          *flax_path, "patch_proj", "bias")
     for i in range(num_layers):
         lp = f"{p}encoder.layer.{i}."
-        fl = (flax_prefix, f"layer{i}")
+        fl = flax_path + (f"layer{i}",)
         for t_name, f_name in (("attention.attention.query", "query"),
                                ("attention.attention.key", "key"),
                                ("attention.attention.value", "value"),
@@ -139,8 +140,8 @@ def convert_vit(state: Dict[str, np.ndarray], b: VariableBuilder,
                                ("layernorm_after", "ln_after")):
             b.raw(state[lp + t_name + ".weight"], *fl, f_name, "scale")
             b.raw(state[lp + t_name + ".bias"], *fl, f_name, "bias")
-    b.raw(state[p + "layernorm.weight"], flax_prefix, "ln_final", "scale")
-    b.raw(state[p + "layernorm.bias"], flax_prefix, "ln_final", "bias")
+    b.raw(state[p + "layernorm.weight"], *flax_path, "ln_final", "scale")
+    b.raw(state[p + "layernorm.bias"], *flax_path, "ln_final", "bias")
 
 
 def convert_pu(state: Dict[str, np.ndarray], b: VariableBuilder,
@@ -168,7 +169,7 @@ def convert_lifter(state: Dict[str, np.ndarray], num_vit_layers: int = 3,
       global_mlp.pose_fcs.0 (UnrealEgo only)
     """
     b = VariableBuilder()
-    convert_vit(state, b, "pos_heatmap_encoder.vit.", "pos_encoder",
+    convert_vit(state, b, "pos_heatmap_encoder.vit.", ("pos_encoder", "vit"),
                 num_vit_layers)
     _fc_stack(state, b, "pos_heatmap_encoder.", ("pos_encoder",),
               ("fc1", "fc2", "fc3"))

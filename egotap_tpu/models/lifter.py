@@ -1,0 +1,111 @@
+"""EgoTAP lifter: heatmaps -> 3D pose (Grid-ViT + PU chain + MLP heads).
+
+Reference: ``EgoTAPAutoEncoder`` (model/net_architecture.py:579-758),
+shipped configuration (``--patched_heatmap_ae --skel_layer PU
+--ae_hidden_size 128``, scripts/train/PoseEstimator/*.sh).
+
+Dataflow for the stereo UnrealEgo config (B = batch, V = 2 views,
+J = 15 heatmap joints, Ld = 2 sin-limb channels):
+  input  (B, 64, 64, V*J + V*J*Ld) heatmap stack (channel order
+         [pos view0.., pos view1.., rot view0 (cos.., sin..), rot view1])
+  pos    -> GridViTEncoder over V*J tiles     -> (B, V*J*128)
+  rot    -> LimbFCEncoder over V*J limb rows  -> (B, V*J*128)
+  regroup to per-joint (view-concat) embeddings (B, J, 256)
+  PU chain over joints                         -> (B, J, 512)
+  per-joint head: Linear(concat(pos_j, skel_j)) -> 3     [pose_mlp]
+  global head:    Linear(flat skel)            -> 3*(num_joints - J)
+                  (+3 global offset added to all per-joint outputs for
+                   UnrealEgo; net_architecture.py:741-747)
+
+Joint-order quirk preserved exactly: predicted row i is trained against
+``gt_local_pose`` row i, whose preset order starts at the root — the
+network learns the permutation; do NOT "fix" it (SURVEY §2.3 note).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from egotap_tpu.models.cells import PUChain
+from egotap_tpu.models.encoders import GridViTEncoder, LimbFCEncoder
+from egotap_tpu.models.layers import MLPDecoder
+
+
+class EgoTAPLifter(nn.Module):
+    """Heatmap stack -> (B, num_joints, 3) pose."""
+
+    num_heatmap: int              # J: pos (== rot) heatmaps per view
+    num_joints: int               # output joints (J [+1 head if estimated])
+    views: int = 2                # input_channel_scale
+    limb_dim: int = 2             # sin heatmap type
+    hidden_size: int = 128        # ae_hidden_size
+    num_pu_layers: int = 2
+    vit_layers: int = 3
+    use_global_offset: bool = True    # UnrealEgo + estimate_head
+    pu_semantics: str = "chain"
+    parents: Optional[Tuple[int, ...]] = None
+
+    @nn.compact
+    def __call__(self, heatmaps: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """heatmaps: (B, H, W, C) NHWC stack (C ordered like the reference's
+        NCHW channel dim)."""
+        B = heatmaps.shape[0]
+        J, V, Ld = self.num_heatmap, self.views, self.limb_dim
+        hid = self.hidden_size
+        body_hidden = hid * V          # per-joint view-concat width
+        res = heatmaps.shape[1]
+
+        x = heatmaps.transpose(0, 3, 1, 2)      # (B, C, H, W)
+
+        # --- split pos / rot channel groups (net_architecture.py:688-694)
+        pos_input = x[:, : J * V][:, :, None]   # (B, V*J, 1, H, W)
+        rot = x[:, J * V:].reshape(B, V, Ld, J, res, res)
+        rot = rot.swapaxes(1, 2).reshape(B, Ld, V * J, res, res)
+        rot_input = rot.swapaxes(1, 2)          # (B, V*J, Ld, H, W)
+
+        pos_embed = GridViTEncoder(
+            num_tiles=J * V, hidden_size=hid, channels=1,
+            vit_layers=self.vit_layers, name="pos_encoder")(
+                pos_input, train=train)          # (B, V*J*hid)
+        rot_embed = LimbFCEncoder(hidden_size=hid, name="rot_encoder")(
+            rot_input, train=train)              # (B, V*J*hid)
+
+        # --- regroup view-major -> per-joint [view0, view1] blocks
+        pos_pj = pos_embed.reshape(B, V, J, hid).swapaxes(1, 2)
+        pos_pj = pos_pj.reshape(B, J, body_hidden)
+        rot_pj = rot_embed.reshape(B, V, J, hid).swapaxes(1, 2)
+        rot_pj = rot_pj.reshape(B, J, body_hidden)
+
+        # --- propagation over the joint sequence
+        skel = PUChain(input_size=body_hidden, bridge_size=body_hidden,
+                       hidden_size=2 * body_hidden,
+                       num_layers=self.num_pu_layers,
+                       semantics=self.pu_semantics, parents=self.parents,
+                       name="skelnet")(pos_pj, rot_pj)   # (B, J, 2*bh)
+        feature_size = 2 * body_hidden
+
+        # --- per-joint head (indep_projection, net_architecture.py:732-739)
+        per_joint = jnp.concatenate([pos_pj, skel], axis=-1)
+        per_joint = per_joint.reshape(B * J, body_hidden + feature_size)
+        pose = MLPDecoder(3, name="pose_mlp")(per_joint, train=train)
+        pose = pose.reshape(B, J * 3)
+
+        # --- global head (remaining joints + optional offset)
+        global_dim = 3 * (self.num_joints - J)
+        if self.use_global_offset:
+            global_dim += 3
+        if global_dim > 0:
+            z_bar = skel.reshape(B, J * feature_size)
+            others = MLPDecoder(global_dim, name="global_mlp")(
+                z_bar, train=train)
+            if self.use_global_offset:
+                offset = others[:, :3]
+                pose = (pose.reshape(B, J, 3) + offset[:, None, :]
+                        ).reshape(B, J * 3)
+                others = others[:, 3:]
+            pose = jnp.concatenate([pose, others], axis=1)
+
+        return pose.reshape(B, self.num_joints, 3)

@@ -1,0 +1,158 @@
+"""Grid-ViT heatmap patch encoder (flax.linen), TPU-native formulation.
+
+Reference: ``PatchedHeatmapFeatureExtractorViT``
+(model/net_architecture.py:320-415) + the vendored HF ViT
+(model/modeling_vit.py, constructed with use_mask_token=True,
+use_cls_token=False).
+
+The reference tiles N 64x64 heatmaps into one (T*64)^2 image (T =
+floor(sqrt(N-1))+1) with zero dummy tiles, marks dummy patches with a
+bool mask so ViT mask tokens replace them, runs the ViT, then regroups each
+tile's 4x4 patch embeddings with a python loop.
+
+TPU-native equivalence used here: attention is permutation-equivariant, so
+the image is never materialized — each heatmap is patchified directly
+((B, N, 16, C*256) -> one dense matmul), dummy tiles contribute pure
+mask-token embeddings, and the learned position embeddings (stored in
+image row-major order in checkpoints) are gathered through a precomputed
+tile-major permutation. The final "regroup" is a reshape. Numerics match
+the reference exactly (unit-tested against golden fixtures).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+LN_EPS = 1e-12  # HF ViT layer_norm_eps
+
+
+@functools.lru_cache(maxsize=None)
+def tile_permutation(num_tiles_side: int, patches_per_side: int) -> np.ndarray:
+    """perm[tile-major token index] = image-row-major position index.
+
+    Token k = tile t (row-major over the TxT tile grid), patch j (row-major
+    over the tile's PxP patches) sits at image patch
+    (row*P + j//P, col*P + j%P) of the (T*P)x(T*P) patch grid.
+    """
+    T, P = num_tiles_side, patches_per_side
+    perm = np.zeros(T * T * P * P, dtype=np.int32)
+    k = 0
+    for t in range(T * T):
+        row, col = divmod(t, T)
+        for j in range(P * P):
+            pr, pc = divmod(j, P)
+            perm[k] = (row * P + pr) * (T * P) + (col * P + pc)
+            k += 1
+    return perm
+
+
+class ViTBlock(nn.Module):
+    """Pre-LN transformer block (HF ViTLayer, modeling_vit.py:347-386)."""
+
+    hidden_size: int
+    num_heads: int
+    mlp_dim: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        d = self.hidden_size
+        h = self.num_heads
+        dh = d // h
+
+        y = nn.LayerNorm(epsilon=LN_EPS, name="ln_before", dtype=x.dtype)(x)
+        q = nn.Dense(d, name="query", dtype=x.dtype)(y)
+        k = nn.Dense(d, name="key", dtype=x.dtype)(y)
+        v = nn.Dense(d, name="value", dtype=x.dtype)(y)
+
+        b, s, _ = y.shape
+        q = q.reshape(b, s, h, dh).transpose(0, 2, 1, 3)
+        k = k.reshape(b, s, h, dh).transpose(0, 2, 1, 3)
+        v = v.reshape(b, s, h, dh).transpose(0, 2, 1, 3)
+
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
+            jnp.asarray(dh, dtype=x.dtype))
+        probs = jax.nn.softmax(scores, axis=-1)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, d)
+        x = x + nn.Dense(d, name="attn_out", dtype=x.dtype)(ctx)
+
+        y = nn.LayerNorm(epsilon=LN_EPS, name="ln_after", dtype=x.dtype)(x)
+        y = nn.Dense(self.mlp_dim, name="mlp_in", dtype=x.dtype)(y)
+        y = jax.nn.gelu(y, approximate=False)
+        return x + nn.Dense(d, name="mlp_out", dtype=x.dtype)(y)
+
+
+class GridViT(nn.Module):
+    """ViT over tiled heatmaps without materializing the tiled image.
+
+    Input: (B, N, C, H, H) heatmaps -> output (B, N, patches_per_tile * D)
+    per-tile embeddings (the reference's regrouped ``per_heatmap_embeddings``).
+    """
+
+    num_tiles: int            # N = num_heatmap * views
+    channels: int = 1
+    hidden_size: int = 1024
+    num_layers: int = 3
+    num_heads: int = 8
+    patch_size: int = 16
+    heatmap_size: int = 64
+
+    @property
+    def tiles_per_side(self) -> int:
+        return int(np.sqrt(self.num_tiles - 1)) + 1
+
+    @property
+    def patches_per_side(self) -> int:
+        return self.heatmap_size // self.patch_size
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, n, c, hs, _ = x.shape
+        assert n == self.num_tiles and c == self.channels
+        P = self.patches_per_side
+        T = self.tiles_per_side
+        ps = self.patch_size
+        D = self.hidden_size
+        n_dummy_tiles = T * T - n
+        tokens_per_tile = P * P
+        total_tokens = T * T * tokens_per_tile
+
+        # patchify: (B, N, C, H, H) -> (B, N, P*P, C*ps*ps), pixel order
+        # (c, ph, pw) to match the conv-as-dense checkpoint transform
+        patches = x.reshape(b, n, c, P, ps, P, ps)
+        patches = patches.transpose(0, 1, 3, 5, 2, 4, 6)
+        patches = patches.reshape(b, n, tokens_per_tile, c * ps * ps)
+
+        proj = nn.Dense(D, name="patch_proj", dtype=x.dtype)
+        real_tokens = proj(patches).reshape(b, n * tokens_per_tile, D)
+
+        mask_token = self.param(
+            "mask_token", nn.initializers.zeros, (D,), jnp.float32)
+        dummy_tokens = jnp.broadcast_to(
+            mask_token.astype(x.dtype),
+            (b, n_dummy_tiles * tokens_per_tile, D))
+        tokens = jnp.concatenate([real_tokens, dummy_tokens], axis=1)
+
+        pos_embed = self.param(
+            "pos_embed",
+            nn.initializers.normal(stddev=1.0),  # HF uses randn
+            (total_tokens, D), jnp.float32)
+        perm = jnp.asarray(tile_permutation(T, P))
+        tokens = tokens + pos_embed[perm].astype(x.dtype)
+
+        for i in range(self.num_layers):
+            tokens = ViTBlock(D, self.num_heads, D * 4,
+                              name=f"layer{i}")(tokens)
+        tokens = nn.LayerNorm(epsilon=LN_EPS, name="ln_final",
+                              dtype=x.dtype)(tokens)
+
+        # regroup: first N tiles' tokens, flattened per tile (row-major
+        # patch order == the reference's 4x4 block reshape)
+        out = tokens[:, : n * tokens_per_tile]
+        return out.reshape(b, n, tokens_per_tile * D)
