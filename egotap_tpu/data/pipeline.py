@@ -1,0 +1,179 @@
+"""Batched input pipeline: host loading/prefetch + on-device target synthesis.
+
+The reference renders every training target (gaussian joint maps, AA limb
+lines, sin modulation) per frame on host CPU inside DataLoader workers —
+its input-bound hot loop (dataloader/data_loader.py:76-215). Here the host
+only reads raw arrays (`egotap_tpu.data.dataset`) and a single jitted
+`device_preprocess` synthesizes all targets from the (J, 2)/(J, 3)
+coordinates directly on the TPU, preserving the reference's target
+semantics bit-for-bit at f32 (see data/device_render.py parity tests):
+
+  * joint heatmaps from 2D coords [1:], peak-normalized       (:90-95)
+  * limb line maps x2, per-side pixel lengths                 (:123-127)
+  * sin-type (cos, sin) channels from the LEFT camera theta   (:193-199)
+  * tail-slicing to num_heatmap / num_rot_heatmap             (:149-164)
+  * head-relative pose variant when the root is not estimated (:153-157)
+  * plength tiled limb_dim times                              (:210-214)
+
+Batches are padded to a static shape with a validity mask so eval's ragged
+final batch never retriggers XLA compilation.
+"""
+
+from __future__ import annotations
+
+import functools
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from egotap_tpu.core.config import Config
+from egotap_tpu.core.skeleton import get_skeleton
+from egotap_tpu.data import device_render as dr
+from egotap_tpu.data.dataset import FrameDataset
+
+
+def make_device_preprocess(cfg: Config):
+    """Build the jitted batch -> model-feed transform for a config."""
+    sk = get_skeleton(cfg.joint_preset)
+    parents = sk.parents
+    res = cfg.heatmap_res
+    nh, nr, ld = cfg.num_heatmap, cfg.num_rot_heatmap, cfg.limb_dim
+
+    @jax.jit
+    def preprocess(batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        out: Dict[str, jnp.ndarray] = {}
+        rgb_l = batch["input_rgb_left"]
+        rgb_r = batch["input_rgb_right"]
+        if rgb_l.shape[1] != cfg.image_size:
+            shape = rgb_l.shape[:1] + (cfg.image_size, cfg.image_size, 3)
+            rgb_l = jax.image.resize(rgb_l, shape, method="bilinear")
+            rgb_r = jax.image.resize(rgb_r, shape, method="bilinear")
+        out["input_rgb"] = jnp.stack([rgb_l, rgb_r], axis=1)  # (B,V,H,W,3)
+
+        pose = batch["gt_local_pose"]                    # (B, J, 3)
+        pelvis_l = batch["gt_pelvis_left"]
+        pelvis_r = batch["gt_pelvis_right"]
+
+        if nh > 0:
+            for side, key in (("left", "gt_camera_2d_left"),
+                              ("right", "gt_camera_2d_right")):
+                hm = dr.render_joint_heatmaps(batch[key][:, 1:], res)
+                hm = hm[:, -nh:] if nh < sk.num_heatmaps else hm
+                out[f"gt_heatmap_{side}"] = hm.transpose(0, 2, 3, 1)
+
+        if nr > 0 and ld > 0:
+            pts3d_l = pose + pelvis_l[:, None, :]
+            pts3d_r = pose + pelvis_r[:, None, :]
+            theta = dr.limb_theta(pts3d_l, parents)      # (B, J-1), LEFT side
+            for side, p2k, p3 in (("left", "gt_camera_2d_left", pts3d_l),
+                                  ("right", "gt_camera_2d_right", pts3d_r)):
+                raw, plen = dr.render_limb_heatmaps(batch[p2k], parents, res)
+                raw = raw * 2.0                          # (:127) x2 scale
+                raw, plen, th = raw[:, -nr:], plen[:, -nr:], theta[:, -nr:]
+                if cfg.heatmap_type == "sin":
+                    cos_hm, sin_hm = dr.sin_limb_heatmaps(raw, th)
+                    limb = jnp.concatenate([cos_hm, sin_hm], axis=1)
+                else:  # "limb"
+                    limb = raw
+                out[f"gt_limb_heatmap_{side}"] = limb.transpose(0, 2, 3, 1)
+                out[f"gt_plength_{side}"] = jnp.tile(plen, (1, ld))
+            out["gt_limb_theta"] = theta[:, -nr:]
+
+        if cfg.joint_preset == "UnrealEgo" and not cfg.estimate_head:
+            pose = pose + pelvis_l[:, None, :]
+            pelvis_l = jnp.zeros_like(pelvis_l)
+            pelvis_r = jnp.zeros_like(pelvis_r)
+
+        out["gt_local_pose"] = pose if cfg.estimate_head else pose[:, 1:]
+        out["gt_local_rot"] = batch["gt_local_rot"]
+        out["gt_pelvis_left"] = pelvis_l
+        out["gt_pelvis_right"] = pelvis_r
+        out["mask"] = batch["mask"]
+        return out
+
+    return preprocess
+
+
+def _stack_batch(frames, batch_size: int) -> Dict[str, np.ndarray]:
+    """Stack frame dicts; pad to batch_size with a validity mask."""
+    n = len(frames)
+    batch: Dict[str, np.ndarray] = {}
+    for k in frames[0]:
+        if k == "path":
+            continue
+        arr = np.stack([f[k] for f in frames])
+        if n < batch_size:
+            pad = np.repeat(arr[-1:], batch_size - n, axis=0)
+            arr = np.concatenate([arr, pad], axis=0)
+        batch[k] = arr
+    batch["mask"] = (np.arange(batch_size) < n).astype(np.float32)
+    batch["paths"] = [f["path"] for f in frames]  # type: ignore[assignment]
+    return batch
+
+
+class BatchLoader:
+    """Shuffling / padding batch iterator with threaded prefetch.
+
+    train: shuffled, drop_last (reference dataloader_full,
+    dataloader/data_loader.py:41-63); eval: ordered, final batch padded +
+    masked so shapes stay static.
+    """
+
+    def __init__(self, dataset: FrameDataset, batch_size: int,
+                 shuffle: bool, drop_last: bool,
+                 num_threads: int = 2, seed: int = 0):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_threads = max(1, num_threads)
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        n = len(self.ds)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _index_batches(self):
+        idx = np.arange(len(self.ds))
+        if self.shuffle:
+            self.rng.shuffle(idx)
+        nb = len(self)
+        for i in range(nb):
+            yield idx[i * self.batch_size:(i + 1) * self.batch_size]
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def load(indices):
+            return _stack_batch([self.ds[i] for i in indices],
+                                self.batch_size)
+
+        with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
+            futures = []
+            gen = self._index_batches()
+            for _ in range(2 * self.num_threads):
+                try:
+                    futures.append(pool.submit(load, next(gen)))
+                except StopIteration:
+                    break
+            while futures:
+                batch = futures.pop(0).result()
+                try:
+                    futures.append(pool.submit(load, next(gen)))
+                except StopIteration:
+                    pass
+                yield batch
+
+
+def make_loader(cfg: Config, mode: str,
+                category_id: Optional[str] = None) -> BatchLoader:
+    ds = FrameDataset(cfg, mode, category_id)
+    train = mode == "train"
+    return BatchLoader(ds, cfg.batch_size, shuffle=train, drop_last=train,
+                       num_threads=cfg.num_threads, seed=cfg.seed)
