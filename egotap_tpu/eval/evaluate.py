@@ -1,0 +1,108 @@
+"""Evaluation loops + result artifacts.
+
+Equivalent of the reference's utils/evaluate.py:75-170 and test.py:
+  * `evaluate`: timed no-grad loop over a split; per-sample metrics with
+    padding masks; optional pred/gt pose dumps + input path list.
+  * `write_detail_result` / `write_categorical_result`: the text artifact
+    formats the reference emits (test.py:9-18, 60-77).
+
+Timing convention: wall-clock around the blocked eval_step call, like the
+reference's timing around model.evaluate (utils/evaluate.py:108-111) —
+this is the throughput number BASELINE.md tracks.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from egotap_tpu.core.config import Config
+from egotap_tpu.data.pipeline import make_device_preprocess, make_loader
+from egotap_tpu.eval.metrics import MetricAccumulator
+
+
+def evaluate(cfg: Config, task, state, mode: str = "test",
+             category_id: Optional[str] = None,
+             save_result: bool = False,
+             max_batches: Optional[int] = None
+             ) -> Tuple[Dict[str, float], Dict[str, list], float]:
+    """Run eval over a split. Returns (mean metrics, per-sample stats,
+    pairs/sec)."""
+    loader = make_loader(cfg, mode, category_id)
+    if len(loader) == 0:
+        print("Evaluation dataset is empty!")
+        return {}, {}, 0.0
+    pre = make_device_preprocess(cfg)
+    acc = MetricAccumulator()
+
+    pred_poses, gt_poses, input_paths = [], [], []
+    elapsed = 0.0
+    n_samples = 0
+
+    for bi, batch in enumerate(loader):
+        if max_batches is not None and bi >= max_batches:
+            break
+        paths = batch.pop("paths")
+        feed = pre({k: jnp.asarray(v) for k, v in batch.items()})
+        t0 = time.perf_counter()
+        out = task.eval_step(state, feed)
+        out = jax.block_until_ready(out)
+        elapsed += time.perf_counter() - t0
+
+        mask = np.asarray(feed["mask"])
+        n_valid = int(mask.sum())
+        n_samples += n_valid
+        acc.update({k: np.asarray(v) for k, v in out["metrics"].items()},
+                   mask=mask)
+        if save_result and "pred_pose" in out:
+            keep = mask.astype(bool)
+            pred_poses.append(np.asarray(out["pred_pose"])[keep])
+            gt_poses.append(np.asarray(out["gt_pose"])[keep])
+            input_paths.extend(paths)
+
+    if save_result and pred_poses:
+        save_path = cfg.results_dir
+        os.makedirs(save_path, exist_ok=True)
+        np.save(os.path.join(save_path, "pred_pose.npy"),
+                np.concatenate(pred_poses, axis=0))
+        data_name = os.path.normpath(cfg.data_dir).split("/")[-1].lower()
+        np.save(os.path.join(save_path, os.pardir,
+                             f"gt_{data_name}_pose.npy"),
+                np.concatenate(gt_poses, axis=0))
+        with open(os.path.join(save_path, "input_paths.pkl"), "wb") as f:
+            pickle.dump(np.asarray(input_paths).reshape(-1, 1), f)
+
+    pairs_per_sec = n_samples / elapsed if elapsed > 0 else 0.0
+    return acc.means(), acc.per_sample, pairs_per_sec
+
+
+def write_detail_result(path: str, stats: Dict[str, list]) -> None:
+    """Per-frame metric table (reference test.py:9-18)."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    keys = list(stats.keys())
+    with open(path, "w") as f:
+        f.write(" ".join(keys) + " \n")
+        n = len(stats[keys[0]]) if keys else 0
+        for i in range(n):
+            f.write(" ".join(str(stats[k][i]) for k in keys) + " \n")
+
+
+def write_categorical_header(path: str, metrics: Dict[str, float]) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write(" ".join(metrics.keys()) + " \n")
+        f.write(" ".join(str(v) for v in metrics.values()) + " \n")
+
+
+def append_categorical_result(path: str, key: str, name: str,
+                              n_batches: int,
+                              metrics: Dict[str, float]) -> None:
+    with open(path, "a") as f:
+        f.write(f"{key} {name} {n_batches} "
+                + " ".join(str(v) for v in metrics.values()) + " \n")

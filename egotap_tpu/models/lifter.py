@@ -68,8 +68,8 @@ class EgoTAPLifter(nn.Module):
 
         pos_embed = GridViTEncoder(
             num_tiles=J * V, hidden_size=hid, channels=1,
-            vit_layers=self.vit_layers, name="pos_encoder")(
-                pos_input, train=train)          # (B, V*J*hid)
+            vit_layers=self.vit_layers, heatmap_size=res,
+            name="pos_encoder")(pos_input, train=train)   # (B, V*J*hid)
         rot_embed = LimbFCEncoder(hidden_size=hid, name="rot_encoder")(
             rot_input, train=train)              # (B, V*J*hid)
 

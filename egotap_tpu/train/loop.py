@@ -1,0 +1,219 @@
+"""Training loop: epochs, watchdogs, restart semantics, artifacts.
+
+Equivalent of the reference train.py:63-287:
+  * NaN/Inf loss -> save a tagged checkpoint, reload the previous epoch and
+    restart it (abort/restart at epoch 1; train.py:137-164).
+  * Early-convergence watchdog during the first 3000 (heatmap) / 8000
+    (pose) iterations: a loss that hasn't improved for 200/400 iterations
+    triggers a from-scratch restart when --auto_restart (train.py:165-177).
+  * Per-epoch validation, best-checkpoint tracking on the task's eval_key,
+    periodic checkpoints with previous-epoch GC, final best-model test +
+    per-motion-category evaluation written to test_result.txt.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from egotap_tpu.compat.convert import convert_heatmap_net
+from egotap_tpu.compat.torch_loader import load_torch_checkpoint
+from egotap_tpu.core.config import Config
+from egotap_tpu.data.pipeline import make_device_preprocess, make_loader
+from egotap_tpu.eval.categories import MOTION_CATEGORIES
+from egotap_tpu.eval.evaluate import evaluate
+from egotap_tpu.train import state as state_lib
+from egotap_tpu.train.tasks import create_task
+from egotap_tpu.utils.logging import MetricWriter
+
+
+def load_pretrained_heatmaps(cfg: Config) -> Tuple[Optional[Dict], Optional[Dict]]:
+    """Resolve the reference's sibling-directory convention for pretrained
+    stage-1 nets: ``{base}_pos`` and ``{base}_{heatmap_type}``
+    (reference model/egotap_autoencoder_model.py:113-126). Supports both
+    converted ``.pth`` files and this framework's Orbax checkpoints."""
+    if cfg.path_to_trained_heatmap is None:
+        return None, None
+    path = cfg.path_to_trained_heatmap
+    if path.startswith("./log/"):
+        path = os.path.join(cfg.log_dir, path[len("./log/"):])
+    base_dir, fname = os.path.split(path)
+
+    out = []
+    for suffix in ("_pos", "_" + cfg.heatmap_type):
+        pth = os.path.join(base_dir + suffix, fname)
+        ckpt = os.path.join(base_dir + suffix, "ckpt_best")
+        if os.path.exists(pth):
+            variables = convert_heatmap_net(
+                load_torch_checkpoint(pth), cfg.model_name)
+            out.append(jax.tree.map(jnp.asarray, variables))
+        elif os.path.isdir(ckpt):
+            import orbax.checkpoint as ocp
+            with ocp.PyTreeCheckpointer() as ckptr:
+                restored = ckptr.restore(os.path.abspath(ckpt))
+            out.append(jax.tree.map(jnp.asarray, {
+                "params": restored["params"],
+                "batch_stats": restored["batch_stats"]}))
+        else:
+            raise FileNotFoundError(
+                f"no pretrained heatmap checkpoint at {pth} or {ckpt}")
+    return out[0], out[1]
+
+
+def _init_task_state(cfg: Config, task, iters_per_epoch: int):
+    rng = jax.random.PRNGKey(cfg.seed)
+    if cfg.model == "egotap_autoencoder":
+        hv, rv = load_pretrained_heatmaps(cfg)
+        return task.init_state(rng, iters_per_epoch,
+                               heatmap_vars=hv, rot_heatmap_vars=rv)
+    return task.init_state(rng, iters_per_epoch)
+
+
+def test_model(cfg: Config, task, state, writer=None) -> Dict[str, float]:
+    metrics, _, pps = evaluate(cfg, task, state, mode="test")
+    print("best test metrics:")
+    for k, v in metrics.items():
+        print(f"{k}: {v:.4e}")
+    print(f"throughput: {pps:.1f} pairs/s")
+    return metrics
+
+
+def train_main(cfg: Config) -> bool:
+    """One training attempt. Returns True when finished; False requests a
+    from-scratch restart (reference auto-restart protocol)."""
+    os.makedirs(cfg.experiment_dir, exist_ok=True)
+    cfg.save(os.path.join(cfg.experiment_dir, "train_opt.txt"))
+
+    print("preparing dataset ...")
+    train_loader = make_loader(cfg, "train")
+    iters_per_epoch = len(train_loader)
+    if iters_per_epoch == 0:
+        raise RuntimeError("empty training split")
+    pre = make_device_preprocess(cfg)
+
+    task = create_task(cfg)
+    state = _init_task_state(cfg, task, iters_per_epoch)
+
+    if cfg.epoch_count > 1:
+        state = state_lib.load_checkpoint(
+            cfg.experiment_dir, cfg.epoch_count - 1, state)
+
+    writer = MetricWriter(os.path.join(cfg.experiment_dir, "summary"),
+                          clear=(cfg.epoch_count == 1))
+
+    best_metric = math.inf
+    best_metrics = None
+    loss_records: Dict[str, Tuple[int, float]] = {}
+    check_itr = 3000 if "Heatmap" in task.name else 8000
+    stall_threshold = 200 if "Heatmap" in task.name else 400
+
+    print("---------------------Start Training-----------------------")
+    epoch = cfg.epoch_count
+    total_itr = (cfg.epoch_count - 1) * iters_per_epoch
+    while epoch <= cfg.niter + cfg.niter_decay:
+        print(f"-----------------Train Epoch: {epoch}-----------------")
+        restart_epoch = False
+        abort = None
+        epoch_losses: Dict[str, list] = {}
+        t0 = time.time()
+
+        for i, batch in enumerate(train_loader):
+            batch.pop("paths", None)
+            feed = pre({k: jnp.asarray(v) for k, v in batch.items()})
+            state, losses = task.train_step(state, feed)
+            losses = {k: float(v) for k, v in losses.items()}
+            step = (epoch - 1) * iters_per_epoch + i
+            curr_itr = total_itr + i
+
+            for k, v in losses.items():
+                epoch_losses.setdefault(k, []).append(v)
+                writer.scalar(f"Batch/{k}", v, step)
+                if math.isnan(v) or math.isinf(v):
+                    tag = "nan" if math.isnan(v) else "inf"
+                    print(f"{k} loss is {tag.upper()}!")
+                    state_lib.save_checkpoint(cfg.experiment_dir, tag, state)
+                    if epoch > 1:
+                        state = state_lib.load_checkpoint(
+                            cfg.experiment_dir, epoch - 1, state)
+                        restart_epoch = True
+                    else:
+                        abort = cfg.auto_terminate
+                    break
+                if cfg.auto_restart and curr_itr < check_itr:
+                    if k not in loss_records or v < loss_records[k][1]:
+                        loss_records[k] = (curr_itr, v)
+                    elif curr_itr - loss_records[k][0] > stall_threshold:
+                        print(f"Early convergence detected at {i} "
+                              f"({v:.3e}) for {k}!")
+                        writer.close()
+                        return False
+            if restart_epoch or abort is not None:
+                break
+
+        if abort is not None:
+            writer.close()
+            return abort
+        if restart_epoch:
+            continue
+
+        if epoch % cfg.val_epoch_freq == 0:
+            print(f"-----------------Validation Epoch: {epoch}--------------")
+            metrics, _, _ = evaluate(cfg, task, state, mode="validation")
+            writer.scalars("Validation", metrics, epoch)
+            print(" ".join(f"{k}: {v:.4E}" for k, v in metrics.items()))
+            if metrics and metrics[task.eval_key] < best_metric:
+                best_metric = metrics[task.eval_key]
+                best_metrics = metrics
+                state_lib.save_checkpoint(cfg.experiment_dir, "best", state)
+
+        if epoch % cfg.print_epoch_freq == 0:
+            means = {k: float(np.mean(v)) for k, v in epoch_losses.items()}
+            writer.scalars("Train", means, epoch)
+            print(f"(epoch: {epoch}, time: {time.time() - t0:.1f}s) "
+                  + " ".join(f"{k}: {v:.3e}" for k, v in means.items()))
+
+        if epoch % cfg.save_epoch_freq == 0:
+            state_lib.save_checkpoint(cfg.experiment_dir, epoch, state)
+
+        total_itr += iters_per_epoch
+        print(f"dir name: {cfg.experiment_name}")
+        epoch += 1
+
+    print("\ntrain finished !!!")
+    print(f"best validation metrics: {best_metrics}")
+
+    print("-----------------Test Best Model-----------------")
+    if state_lib.checkpoint_exists(cfg.experiment_dir, "best"):
+        state = state_lib.load_checkpoint(cfg.experiment_dir, "best", state)
+    metrics_test = test_model(cfg, task, state)
+
+    result_path = os.path.join(cfg.experiment_dir, "test_result.txt")
+    with open(result_path, "w") as f:
+        for k, v in metrics_test.items():
+            f.write(f"{k}: {v:.4e}")
+        f.write("\n")
+        for key, name in MOTION_CATEGORIES.items():
+            cat_metrics, _, _ = evaluate(cfg, task, state, mode="test",
+                                         category_id=key)
+            if not cat_metrics:
+                continue
+            f.write(f"category: {key}_{name}\n")
+            for k, v in cat_metrics.items():
+                f.write(f"{k}: {v}\n")
+
+    writer.close()
+    print("-----------------All Process Finished-----------------")
+    return True
+
+
+def run_training(cfg: Config) -> None:
+    """Auto-restart wrapper (reference train.py:282-287)."""
+    while True:
+        if train_main(cfg):
+            break

@@ -1,0 +1,269 @@
+"""Task drivers: the model-lifecycle protocol, jitted end-to-end.
+
+The reference drives training through a per-model protocol
+(set_input / optimize_parameters / evaluate, model/base_model.py) with
+three host<->device crossings per step; here each task compiles ONE
+train_step and ONE eval_step containing the full pipeline (frozen heatmap
+nets + lifter + losses + optimizer), so a step is a single device program.
+
+  * `HeatmapTask`  — stage 1 (reference model/heatmap_shared_model.py).
+  * `LifterTask`   — stage 2 (reference model/egotap_autoencoder_model.py):
+    frozen pretrained pos/rot heatmap nets feed the EgoTAP lifter; only the
+    lifter is optimized (:139-152). Parity quirk preserved: during
+    training the frozen nets run with train-mode BatchNorm and their
+    running stats update (the reference calls model.train() on everything,
+    train.py:91), while eval uses running stats.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from egotap_tpu.core.config import Config
+from egotap_tpu.core.skeleton import get_skeleton
+from egotap_tpu.eval.metrics import pose_metrics
+from egotap_tpu.models.heatmap_net import HeatmapUNet
+from egotap_tpu.models.lifter import EgoTAPLifter
+from egotap_tpu.train import losses as L
+from egotap_tpu.train.optim import make_optimizer
+from egotap_tpu.train.state import TrainState
+
+
+def _dtype(cfg: Config):
+    return jnp.bfloat16 if (cfg.use_amp or
+                            cfg.compute_dtype == "bfloat16") else jnp.float32
+
+
+class HeatmapTask:
+    """Stage-1 heatmap estimator training/eval."""
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.name = "Heatmap Shared model"
+        self.eval_key = "mse_heatmap"
+        self.nh, self.nr, self.ld = cfg.num_heatmap, cfg.num_rot_heatmap, cfg.limb_dim
+        self.views = cfg.views
+        self.model = HeatmapUNet(
+            num_output_maps=self.nh + self.nr * self.ld,
+            model_name=cfg.model_name, views=self.views)
+        sides = ["left", "right"][: self.views]
+        self.loss_names = []
+        if self.nh > 0:
+            self.loss_names += [f"heatmap_{s}" for s in sides]
+        if self.nr > 0:
+            self.loss_names += [f"limb_heatmap_{s}" for s in sides]
+
+    # ------------------------------------------------------------------
+    def init_state(self, rng, iters_per_epoch: int) -> TrainState:
+        dummy = jnp.zeros((1, self.views, self.cfg.image_size,
+                           self.cfg.image_size, 3))
+        variables = self.model.init(rng, dummy, train=False)
+        self.tx = make_optimizer(self.cfg, iters_per_epoch)
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=self.tx.init(variables["params"]),
+            frozen={},
+        )
+
+    def _split(self, out):
+        """[posL, posR, limbL, limbR] channel groups
+        (reference model/heatmap_shared_model.py:101-108)."""
+        v, nh, nld = self.views, self.nh, self.nr * self.ld
+        pos = [out[..., i * nh:(i + 1) * nh] for i in range(v)] if nh else []
+        base = nh * v
+        limb = [out[..., base + i * nld: base + (i + 1) * nld]
+                for i in range(v)] if nld else []
+        return pos, limb
+
+    def _losses(self, out, batch) -> Dict[str, jnp.ndarray]:
+        cfg = self.cfg
+        pos, limb = self._split(out)
+        out_d: Dict[str, jnp.ndarray] = {}
+        sides = ["left", "right"][: self.views]
+        for i, side in enumerate(sides):
+            if self.nh > 0:
+                out_d[f"heatmap_{side}"] = cfg.lambda_heatmap * \
+                    L.heatmap_mse(pos[i], batch[f"gt_heatmap_{side}"])
+            if self.nr > 0:
+                out_d[f"limb_heatmap_{side}"] = cfg.lambda_rot_heatmap * \
+                    L.limb_heatmap_mse(limb[i],
+                                       batch[f"gt_limb_heatmap_{side}"],
+                                       batch[f"gt_plength_{side}"])
+        return out_d
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_step(self, state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        dt = _dtype(self.cfg)
+
+        def loss_fn(params):
+            out, upd = self.model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["input_rgb"].astype(dt), train=True,
+                mutable=["batch_stats"])
+            loss_d = self._losses(out.astype(jnp.float32), batch)
+            total = sum(loss_d.values())
+            return total, (loss_d, upd["batch_stats"])
+
+        (_, (loss_d, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        state = state.replace(step=state.step + 1, params=new_params,
+                              batch_stats=new_bs, opt_state=new_opt)
+        return state, loss_d
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def eval_step(self, state: TrainState, batch) -> Dict[str, jnp.ndarray]:
+        out = self.model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["input_rgb"], train=False).astype(jnp.float32)
+        pos, limb = self._split(out)
+        b = out.shape[0]
+        mse = jnp.zeros((b,))
+        sides = ["left", "right"][: self.views]
+        for i, side in enumerate(sides):
+            if self.nh > 0:
+                d = (pos[i] - batch[f"gt_heatmap_{side}"]) ** 2
+                mse = mse + jnp.mean(d, axis=(1, 2, 3))
+            if self.nr > 0:
+                norm = jnp.sqrt(batch[f"gt_plength_{side}"])[:, None, None, :]
+                d = ((limb[i] - batch[f"gt_limb_heatmap_{side}"]) / norm) ** 2
+                mse = mse + jnp.mean(d, axis=(1, 2, 3))
+        return {"metrics": {"mse_heatmap": mse}, "pred_heatmap": out}
+
+
+class LifterTask:
+    """Stage-2 pose estimator: frozen heatmap nets + EgoTAP lifter."""
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.name = "EgoTAP AutoEncoder model"
+        self.eval_key = "mpjpe"
+        self.loss_names = ["pose", "cos_sim"]
+        sk = get_skeleton(cfg.joint_preset)
+        self.sk = sk
+        self.nh, self.nr, self.ld = cfg.num_heatmap, cfg.num_rot_heatmap, cfg.limb_dim
+        self.views = cfg.views
+        assert self.nh == self.nr, "shipped configs use equal pos/rot counts"
+
+        self.pos_net = HeatmapUNet(num_output_maps=self.nh,
+                                   model_name=cfg.model_name, views=self.views)
+        self.rot_net = HeatmapUNet(num_output_maps=self.nr * self.ld,
+                                   model_name=cfg.model_name, views=self.views)
+        self.lifter = EgoTAPLifter(
+            num_heatmap=self.nh, num_joints=cfg.num_joints_out,
+            views=self.views, limb_dim=self.ld,
+            hidden_size=cfg.ae_hidden_size,
+            num_pu_layers=cfg.n_skel_layers,
+            use_global_offset=(cfg.joint_preset == "UnrealEgo"
+                               and cfg.estimate_head),
+            pu_semantics=cfg.pu_semantics, parents=sk.parents)
+
+    # ------------------------------------------------------------------
+    def init_state(self, rng, iters_per_epoch: int,
+                   heatmap_vars: Optional[Dict] = None,
+                   rot_heatmap_vars: Optional[Dict] = None) -> TrainState:
+        cfg = self.cfg
+        r1, r2, r3 = jax.random.split(rng, 3)
+        dummy_rgb = jnp.zeros((1, self.views, cfg.image_size, cfg.image_size, 3))
+        hv = heatmap_vars or self.pos_net.init(r1, dummy_rgb)
+        rv = rot_heatmap_vars or self.rot_net.init(r2, dummy_rgb)
+        chans = (self.nh + self.nr * self.ld) * self.views
+        lv = self.lifter.init(
+            r3, jnp.zeros((1, cfg.heatmap_res, cfg.heatmap_res, chans)))
+        self.tx = make_optimizer(cfg, iters_per_epoch)
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=lv["params"],
+            batch_stats=lv.get("batch_stats", {}),
+            opt_state=self.tx.init(lv["params"]),
+            frozen={"heatmap": hv, "rot_heatmap": rv},
+        )
+
+    def _forward_heatmaps(self, frozen, batch, train: bool):
+        """Frozen stage-1 forward -> concatenated heatmap stack
+        (reference forward_heatmap, egotap_autoencoder_model.py:177-216)."""
+        cfg = self.cfg
+        if cfg.use_gt_heatmap:
+            parts = [batch["gt_heatmap_left"]]
+            if cfg.stereo:
+                parts.append(batch["gt_heatmap_right"])
+            parts.append(batch["gt_limb_heatmap_left"])
+            if cfg.stereo:
+                parts.append(batch["gt_limb_heatmap_right"])
+            return jnp.concatenate(parts, axis=-1), frozen
+
+        rgb = batch["input_rgb"].astype(_dtype(cfg))
+        new_frozen = dict(frozen)
+        outs = []
+        for key, net in (("heatmap", self.pos_net),
+                         ("rot_heatmap", self.rot_net)):
+            fv = frozen[key]
+            if train:
+                out, upd = net.apply(fv, rgb, train=True,
+                                     mutable=["batch_stats"])
+                new_frozen[key] = {"params": fv["params"],
+                                   "batch_stats": upd["batch_stats"]}
+            else:
+                out = net.apply(fv, rgb, train=False)
+            outs.append(out.astype(jnp.float32))
+        return jnp.concatenate(outs, axis=-1), new_frozen
+
+    def _pose_losses(self, pose, batch) -> Dict[str, jnp.ndarray]:
+        cfg = self.cfg
+        gt = batch["gt_local_pose"]
+        return {
+            "pose": cfg.lambda_mpjpe * L.mpjpe(pose, gt),
+            "cos_sim": cfg.lambda_cos_sim * cfg.lambda_mpjpe * L.cos_sim(
+                pose, gt, self.sk.parents_array(),
+                estimate_head=cfg.estimate_head),
+        }
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_step(self, state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        dt = _dtype(self.cfg)
+        hm_cat, new_frozen = self._forward_heatmaps(state.frozen, batch,
+                                                    train=True)
+        hm_cat = jax.lax.stop_gradient(hm_cat)
+
+        def loss_fn(params):
+            pose, upd = self.lifter.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                hm_cat.astype(dt), train=True, mutable=["batch_stats"])
+            loss_d = self._pose_losses(pose.astype(jnp.float32), batch)
+            return sum(loss_d.values()), (loss_d, upd["batch_stats"])
+
+        (_, (loss_d, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        state = state.replace(step=state.step + 1, params=new_params,
+                              batch_stats=new_bs, opt_state=new_opt,
+                              frozen=new_frozen)
+        return state, loss_d
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def eval_step(self, state: TrainState, batch) -> Dict[str, Any]:
+        hm_cat, _ = self._forward_heatmaps(state.frozen, batch, train=False)
+        pose = self.lifter.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            hm_cat, train=False).astype(jnp.float32)
+        metrics = pose_metrics(pose, batch["gt_local_pose"])
+        return {"metrics": metrics, "pred_pose": pose,
+                "gt_pose": batch["gt_local_pose"], "pred_heatmap": hm_cat}
+
+
+def create_task(cfg: Config):
+    """Model factory (reference model/models.py:2-18)."""
+    if cfg.model == "heatmap_shared":
+        return HeatmapTask(cfg)
+    if cfg.model == "egotap_autoencoder":
+        return LifterTask(cfg)
+    raise ValueError(f"Model [{cfg.model}] not recognized.")
