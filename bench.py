@@ -1,0 +1,104 @@
+"""Benchmark: end-to-end stereo-pair -> 3D-pose throughput on one chip.
+
+Measures the fully fused eval step (stereo ResNet18-UNet pos + rot heatmap
+nets -> Grid-ViT/PU lifter -> pose + MPJPE/PA-MPJPE metrics) at the
+reference's UnrealEgo test configuration (batch 32, 256x256 stereo RGB,
+scripts/test/unrealego.sh), the computation the reference times around
+``model.evaluate`` (utils/evaluate.py:108-111).
+
+Methodology: the eval step runs inside ``lax.scan`` (each iteration
+perturbs the input and folds the output into the carry, so nothing is
+hoisted or dead-code-eliminated), and throughput is taken from the
+difference of a long and a short scan with full host readback — this
+cancels the fixed per-dispatch latency (which, under the axon relay used
+in CI, is a ~37 ms tunnel round-trip unrelated to chip speed).
+
+Prints ONE JSON line:
+  {"metric": "stereo_pairs_per_sec", "value": N, "unit": "pairs/s",
+   "vs_baseline": N / REFERENCE_PAIRS_PER_SEC}
+
+REFERENCE_PAIRS_PER_SEC is the documented estimate of the reference
+PyTorch pipeline's single-GPU eval throughput (see BASELINE.md — the
+reference repo publishes no numbers; 250 pairs/s is the recorded estimate
+for the single-GPU hardware it targets).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE_PAIRS_PER_SEC = 250.0
+BATCH = 32
+K_SHORT = 4
+K_LONG = 24
+REPEATS = 3
+
+
+def main() -> None:
+    from egotap_tpu.core.cache import enable_compilation_cache
+    from egotap_tpu.data.synthetic import synthetic_config
+    from egotap_tpu.train.tasks import LifterTask
+
+    enable_compilation_cache()
+
+    cfg = synthetic_config(
+        "/tmp/egotap_bench_data", "UnrealEgo",
+        model="egotap_autoencoder", num_heatmap=15, num_rot_heatmap=15,
+        heatmap_type="sin", skel_layer="PU", ae_hidden_size=128,
+        patched_heatmap_ae=True, load_size_heatmap=(64, 64),
+        batch_size=BATCH, use_amp=True, niter=1, niter_decay=15)
+
+    task = LifterTask(cfg)
+    state = task.init_state(jax.random.PRNGKey(0), iters_per_epoch=1)
+
+    rgb = jax.random.normal(
+        jax.random.PRNGKey(1),
+        (BATCH, 2, cfg.image_size, cfg.image_size, 3), jnp.float32)
+    gt_pose = jax.random.normal(jax.random.PRNGKey(2), (BATCH, 16, 3))
+
+    def one_eval(state, rgb, gt_pose):
+        batch = {"input_rgb": rgb, "gt_local_pose": gt_pose}
+        out = task.eval_step(state, batch)
+        return (jnp.mean(out["pred_pose"])
+                + jnp.mean(out["metrics"]["pa_mpjpe"]))
+
+    def repeated(k):
+        @jax.jit
+        def run(state, rgb, gt_pose):
+            def body(carry, i):
+                # perturb the input per iteration so no work can be CSE'd
+                r = rgb + (i.astype(rgb.dtype) * 1e-6)
+                carry = carry + one_eval(state, r, gt_pose)
+                return carry, ()
+            acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(k))
+            return acc
+        return run
+
+    run_s, run_l = repeated(K_SHORT), repeated(K_LONG)
+    float(run_s(state, rgb, gt_pose))  # compile
+    float(run_l(state, rgb, gt_pose))
+
+    def timed(fn):
+        best = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            float(fn(state, rgb, gt_pose))  # host readback blocks for real
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_short, t_long = timed(run_s), timed(run_l)
+    per_iter = (t_long - t_short) / (K_LONG - K_SHORT)
+    pairs_per_sec = BATCH / per_iter
+
+    print(json.dumps({
+        "metric": "stereo_pairs_per_sec",
+        "value": round(pairs_per_sec, 2),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_sec / REFERENCE_PAIRS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

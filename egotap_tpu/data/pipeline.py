@@ -22,6 +22,7 @@ final batch never retriggers XLA compilation.
 from __future__ import annotations
 
 import functools
+import os
 import queue
 import threading
 from typing import Dict, Iterator, Optional
@@ -171,9 +172,67 @@ class BatchLoader:
                 yield batch
 
 
-def make_loader(cfg: Config, mode: str,
-                category_id: Optional[str] = None) -> BatchLoader:
-    ds = FrameDataset(cfg, mode, category_id)
+class PackedBatchLoader:
+    """Batch iterator over a packed .egr split: one native gather per batch
+    (no per-frame python work). Same interface/semantics as BatchLoader."""
+
+    def __init__(self, reader, batch_size: int, shuffle: bool,
+                 drop_last: bool, indices: Optional[np.ndarray] = None,
+                 seed: int = 0):
+        self.reader = reader
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.indices = (np.arange(reader.num_records)
+                        if indices is None else np.asarray(indices))
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        n = len(self.indices)
+        return n // self.batch_size if self.drop_last else \
+            (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        idx = self.indices.copy()
+        if self.shuffle:
+            self.rng.shuffle(idx)
+        paths = self.reader.paths
+        for b in range(len(self)):
+            sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
+            n = len(sel)
+            if n < self.batch_size:  # pad with the last frame + mask
+                sel = np.concatenate(
+                    [sel, np.repeat(sel[-1:], self.batch_size - n)])
+            batch = self.reader.gather(sel)
+            batch["mask"] = (np.arange(self.batch_size) < n).astype(np.float32)
+            batch["paths"] = ([paths[i] for i in sel[:n]] if paths
+                              else [str(i) for i in sel[:n]])
+            yield batch
+
+
+def make_loader(cfg: Config, mode: str, category_id: Optional[str] = None):
+    """Prefer the packed native-record path when the split has been packed
+    (tools/pack_dataset.py); fall back to per-frame npy loading."""
     train = mode == "train"
+    try:
+        from egotap_tpu.native import recordio
+        packed = recordio.packed_path(cfg, mode)
+    except Exception:
+        packed = None
+    if packed and os.path.exists(packed):
+        from egotap_tpu.native.recordio import RecordReader
+        reader = RecordReader(packed, num_threads=cfg.num_threads)
+        indices = None
+        if category_id is not None:
+            if reader.paths is None:
+                raise ValueError("packed split lacks a .paths sidecar; "
+                                 "cannot category-filter")
+            indices = np.asarray(
+                [i for i, p in enumerate(reader.paths)
+                 if p.split("/")[-4] == category_id])
+        return PackedBatchLoader(reader, cfg.batch_size, shuffle=train,
+                                 drop_last=train, indices=indices,
+                                 seed=cfg.seed)
+    ds = FrameDataset(cfg, mode, category_id)
     return BatchLoader(ds, cfg.batch_size, shuffle=train, drop_last=train,
                        num_threads=cfg.num_threads, seed=cfg.seed)

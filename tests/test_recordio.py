@@ -1,0 +1,76 @@
+"""Native packed-record reader tests (builds the C++ library)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from egotap_tpu.data.dataset import FrameDataset
+from egotap_tpu.data.pipeline import PackedBatchLoader, make_loader
+from egotap_tpu.data.synthetic import generate_dataset, synthetic_config
+from egotap_tpu.native import recordio
+
+
+@pytest.fixture(scope="module")
+def packed_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("packed"))
+    generate_dataset(root, "UnrealEgo", num_sequences=2, frames_per_seq=5,
+                     image_size=16)
+    cfg = synthetic_config(root, load_size_heatmap=(16, 16))
+    for mode in ("train", "validation", "test"):
+        recordio.pack_split(cfg, mode)
+    return root
+
+
+def test_build_library():
+    so = recordio.build_library()
+    assert os.path.exists(so)
+
+
+def test_roundtrip(packed_root):
+    cfg = synthetic_config(packed_root, load_size_heatmap=(16, 16))
+    ds = FrameDataset(cfg, "train")
+    reader = recordio.RecordReader(recordio.packed_path(cfg, "train"))
+    assert reader.num_records == len(ds)
+
+    batch = reader.gather(np.array([0, 3, 7]))
+    for k in ("input_rgb_left", "gt_camera_2d_left", "gt_local_pose",
+              "gt_pelvis_right", "gt_local_rot"):
+        want = np.stack([ds[i][k] for i in (0, 3, 7)])
+        np.testing.assert_array_equal(batch[k], want), k
+    assert reader.paths is not None
+    assert reader.paths[0] == ds.paths[0]
+
+
+def test_out_of_range(packed_root):
+    cfg = synthetic_config(packed_root, load_size_heatmap=(16, 16))
+    reader = recordio.RecordReader(recordio.packed_path(cfg, "train"))
+    with pytest.raises(IndexError):
+        reader.gather(np.array([10 ** 6]))
+
+
+def test_make_loader_uses_packed(packed_root):
+    cfg = synthetic_config(packed_root, load_size_heatmap=(16, 16),
+                           batch_size=4)
+    loader = make_loader(cfg, "validation")
+    assert isinstance(loader, PackedBatchLoader)
+    batches = list(loader)
+    assert len(batches) == 3
+    assert batches[-1]["mask"].sum() == 2
+    # content identical to the npy path
+    cfg2 = synthetic_config(packed_root, load_size_heatmap=(16, 16),
+                            batch_size=4)
+    ds = FrameDataset(cfg2, "validation")
+    np.testing.assert_array_equal(
+        batches[0]["input_rgb_left"][0], ds[0]["input_rgb_left"])
+
+
+def test_category_filter_packed(packed_root):
+    cfg = synthetic_config(packed_root, load_size_heatmap=(16, 16),
+                           batch_size=4)
+    l1 = make_loader(cfg, "train", category_id="001")
+    l2 = make_loader(cfg, "train", category_id="002")
+    n1 = sum(int(b["mask"].sum()) for b in make_loader(cfg, "validation"))
+    assert n1 == 10
+    total = len(l1.indices) + len(l2.indices)
+    assert total == 10
