@@ -58,6 +58,9 @@ class PUChain(nn.Module):
     num_layers: int = 2
     semantics: str = "chain"          # "chain" (reference parity) | "tree"
     parents: Optional[Tuple[int, ...]] = None  # required for "tree"
+    # Pallas chain kernel on TPU: numerically equivalent (unit-tested);
+    # measured neutral vs the XLA scan at B=32 on v5e, so off by default.
+    use_fused_kernel: bool = False
 
     def setup(self):
         H = self.hidden_size
@@ -91,7 +94,9 @@ class PUChain(nn.Module):
 
     @staticmethod
     def _linear(p, x):
-        return x @ p["kernel"] + p["bias"]
+        # follow the input compute dtype (params are stored f32; bf16
+        # inputs run the chain in bf16 like the rest of the model)
+        return x @ p["kernel"].astype(x.dtype) + p["bias"].astype(x.dtype)
 
     def __call__(self, inputs: jnp.ndarray, bridges: jnp.ndarray) -> jnp.ndarray:
         H = self.hidden_size
@@ -137,6 +142,17 @@ class PUChain(nn.Module):
         init_states = [(zeros, zeros) for _ in range(self.num_layers)]
 
         if self.semantics == "chain":
+            if (self.use_fused_kernel and self.num_layers == 2
+                    and jax.default_backend() == "tpu"):
+                # one Pallas program: weights + (h, c) live in VMEM for the
+                # whole walk instead of 15-17 separate dispatches
+                from egotap_tpu.ops.pu_kernel import pu_chain_fused
+                gp = gates_pre + self._cells[0]["h2h"]["bias"]
+                out = pu_chain_fused(fh, gp,
+                                     self._cells[0]["h2h"]["kernel"],
+                                     self._cells[1])
+                return out.astype(inputs.dtype)
+
             def body(carry, xs):
                 fh_t, gp_t = xs
                 new_states, out = step_stack(carry, fh_t, gp_t)

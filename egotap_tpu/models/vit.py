@@ -75,10 +75,8 @@ class ViTBlock(nn.Module):
         k = k.reshape(b, s, h, dh).transpose(0, 2, 1, 3)
         v = v.reshape(b, s, h, dh).transpose(0, 2, 1, 3)
 
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
-            jnp.asarray(dh, dtype=x.dtype))
-        probs = jax.nn.softmax(scores, axis=-1)
-        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        from egotap_tpu.ops.attention import multihead_attention
+        ctx = multihead_attention(q, k, v)
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, d)
         x = x + nn.Dense(d, name="attn_out", dtype=x.dtype)(ctx)
 

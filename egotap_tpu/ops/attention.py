@@ -1,0 +1,74 @@
+"""Fused softmax attention (Pallas, TPU) for the Grid-ViT.
+
+At the lifter's scale (<= 576 tokens + dummies, head_dim 128) one
+(batch, head) attention instance fits comfortably in VMEM
+(4 x 576 x 128 x 2B = 0.6 MB), so no KV tiling is needed: a single-block
+kernel computes scores -> softmax -> context without materializing
+anything in HBM. Falls back to the jnp path on non-TPU backends.
+
+Numerics: matches the HF reference attention (scores / sqrt(dh), plain
+softmax; reference model/modeling_vit.py:223-256). Softmax is computed
+with the usual max-subtraction in f32 for stability; the reference's
+softmax is mathematically identical.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    q = q_ref[0].astype(jnp.float32)          # (S, D)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _attention_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray
+                      ) -> jnp.ndarray:
+    bh, s, d = q.shape
+    scale = 1.0 / (d ** 0.5)
+    kernel = functools.partial(_attn_kernel, scale=scale)
+    return pl.pallas_call(
+        kernel,
+        grid=(bh,),
+        in_specs=[pl.BlockSpec((1, s, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec((1, s, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, s, d), q.dtype),
+    )(q, k, v)
+
+
+def _attention_jnp(q, k, v):
+    d = q.shape[-1]
+    scores = jnp.einsum("bqd,bkd->bqk", q, k) / jnp.sqrt(
+        jnp.asarray(d, dtype=q.dtype))
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bqk,bkd->bqd", probs, v)
+
+
+def multihead_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                        use_pallas: bool = True) -> jnp.ndarray:
+    """(B, H, S, D) q/k/v -> (B, H, S, D) context."""
+    b, h, s, d = q.shape
+    flat = (b * h, s, d)
+    qf, kf, vf = (x.reshape(flat) for x in (q, k, v))
+    if use_pallas and s % 8 == 0 and d % 128 == 0:
+        # dispatch on the actual lowering platform (works under
+        # jax.default_device(cpu) contexts and multi-backend processes)
+        out = jax.lax.platform_dependent(
+            qf, kf, vf, tpu=_attention_pallas, default=_attention_jnp)
+    else:
+        out = _attention_jnp(qf, kf, vf)
+    return out.reshape(b, h, s, d)
