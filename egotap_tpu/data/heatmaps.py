@@ -162,6 +162,56 @@ def sin_limb_heatmaps(raw_limb: np.ndarray, theta: np.ndarray
     return cos_hm, sin_hm
 
 
+def pts2d_to_heatmap(coord: np.ndarray, res: int = 64,
+                     area: int = 64) -> np.ndarray:
+    """Point-peak heatmap with optional area padding (reference
+    utils/data.py:76-93). Quirk preserved: the Gaussian blur + peak
+    normalization run inside the per-point loop, so with multiple points
+    earlier peaks get blurred repeatedly."""
+    heatmap = np.zeros((area, area), dtype=np.float32)
+    coord = np.asarray(coord)
+    if coord.ndim == 1:
+        coord = coord[None, :]
+    for c in coord:
+        hm_coord = np.rint(c / (COORD_SPACE / res)).astype(int)
+        hm_coord = hm_coord + (area - res) // 2
+        if 0 <= hm_coord[0] < area and 0 <= hm_coord[1] < area:
+            heatmap[hm_coord[1], hm_coord[0]] = 1
+            heatmap = gaussian_filter(heatmap, sigma=1)
+            heatmap /= GAUSSIAN_PEAK
+    return heatmap
+
+
+def heatmap_to_camera2d(heatmap: np.ndarray) -> np.ndarray:
+    """Inverse of the peak render: exact-1.0 peak location per map, -1 for
+    out-of-view maps (reference utils/projection.py:240-253). Returns
+    (..., 2) as (row, col) like the reference's argwhere convention."""
+    coord_shape = list(heatmap.shape)
+    coord_shape.pop(-1)
+    coord_shape[-1] = 2
+    oos = np.all(heatmap != 1.0, axis=(-1, -2))
+    coords = np.zeros(coord_shape, dtype=np.float32)
+    coords[oos] = -1.0
+    for v in np.argwhere(heatmap == 1.0):
+        coords[tuple(v[:-2])] = v[-2:]
+    return coords
+
+
+def pseudo_limb_mask(pts2d: np.ndarray, limb_mask_indices,
+                     res: int = 256) -> np.ndarray:
+    """EgoGlass-style pseudo limb segmentation masks via thick lines
+    (reference utils/projection.py:165-191; thickness 10 * res/256)."""
+    import cv2
+    thickness = 10 * res // 256
+    mask = np.zeros((len(limb_mask_indices), res, res))
+    pose = pts2d * res / COORD_SPACE
+    for i, limb in enumerate(limb_mask_indices):
+        for parent, child in zip(limb[:-1], limb[1:]):
+            cv2.line(mask[i], tuple(map(int, pose[parent])),
+                     tuple(map(int, pose[child])), 255, thickness)
+    return (mask > 0).astype(np.float32)
+
+
 def pose_image(camera_pose_2d: np.ndarray, parents: np.ndarray,
                res: int = 64) -> np.ndarray:
     """Full-skeleton line image (reference utils/projection.py:194-237,

@@ -75,6 +75,34 @@ class RunningAverageStd:
         return float(np.sqrt(self.m2 / (self.count - 1)))
 
 
+class ArrayRunningStd:
+    """Element-wise Welford over fixed-shape arrays (the reference's
+    RunningAverageStd semantics, utils/util.py:102-130)."""
+
+    def __init__(self) -> None:
+        self.count = 0
+        self.mean = None
+        self.m2 = None
+
+    def update(self, value: np.ndarray) -> None:
+        value = np.asarray(value, dtype=np.float64)
+        if self.mean is None:
+            self.mean = value.copy()
+            self.m2 = np.zeros_like(value)
+            self.count = 1
+            return
+        self.count += 1
+        delta = value - self.mean
+        self.mean += delta / self.count
+        self.m2 += delta * (value - self.mean)
+
+    @property
+    def std(self) -> np.ndarray:
+        if self.count < 2:
+            raise ValueError("std undefined for < 2 values")
+        return np.sqrt(self.m2 / (self.count - 1))
+
+
 class MetricAccumulator:
     """Dict of RunningAverages keyed by metric name."""
 
