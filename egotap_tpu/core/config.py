@@ -80,6 +80,8 @@ class Config:
     # --- TPU-native -----------------------------------------------------
     data_parallel: int = 0                 # 0 = all available devices
     compute_dtype: str = "float32"         # float32 | bfloat16
+    profile_dir: Optional[str] = None      # jax.profiler trace output
+    profile_steps: int = 5                 # steps traced at start of epoch 1
 
     # --- derived (set by derive()) --------------------------------------
     estimate_head: bool = True

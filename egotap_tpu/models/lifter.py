@@ -32,6 +32,7 @@ from flax import linen as nn
 from egotap_tpu.models.cells import PUChain
 from egotap_tpu.models.encoders import GridViTEncoder, LimbFCEncoder
 from egotap_tpu.models.layers import MLPDecoder
+from egotap_tpu.models.skel_variants import LSTMTreeWalk, skel_output_size
 
 
 class EgoTAPLifter(nn.Module):
@@ -42,6 +43,7 @@ class EgoTAPLifter(nn.Module):
     views: int = 2                # input_channel_scale
     limb_dim: int = 2             # sin heatmap type
     hidden_size: int = 128        # ae_hidden_size
+    skel_layer: str = "PU"        # PU | LSTM | LSTMSplit | LSTMNoRel | None | NoneNoRel
     num_pu_layers: int = 2
     vit_layers: int = 3
     use_global_offset: bool = True    # UnrealEgo + estimate_head
@@ -80,12 +82,32 @@ class EgoTAPLifter(nn.Module):
         rot_pj = rot_pj.reshape(B, J, body_hidden)
 
         # --- propagation over the joint sequence
-        skel = PUChain(input_size=body_hidden, bridge_size=body_hidden,
-                       hidden_size=2 * body_hidden,
-                       num_layers=self.num_pu_layers,
-                       semantics=self.pu_semantics, parents=self.parents,
-                       name="skelnet")(pos_pj, rot_pj)   # (B, J, 2*bh)
-        feature_size = 2 * body_hidden
+        feature_size = skel_output_size(self.skel_layer, body_hidden)
+        if self.skel_layer == "PU":
+            skel = PUChain(input_size=body_hidden, bridge_size=body_hidden,
+                           hidden_size=2 * body_hidden,
+                           num_layers=self.num_pu_layers,
+                           semantics=self.pu_semantics, parents=self.parents,
+                           name="skelnet")(pos_pj, rot_pj)   # (B, J, 2*bh)
+        elif self.skel_layer == "LSTM":
+            both = jnp.concatenate([pos_pj, rot_pj], axis=-1)
+            skel = LSTMTreeWalk(2 * body_hidden, 2 * body_hidden,
+                                self.num_pu_layers, parents=self.parents,
+                                name="skelnet")(both)
+        elif self.skel_layer == "LSTMSplit":
+            skel = LSTMTreeWalk(body_hidden, body_hidden,
+                                self.num_pu_layers, parents=self.parents,
+                                name="skelnet")(pos_pj, extra_inputs=rot_pj)
+        elif self.skel_layer == "LSTMNoRel":
+            skel = LSTMTreeWalk(body_hidden, body_hidden,
+                                self.num_pu_layers, parents=self.parents,
+                                name="skelnet")(pos_pj)
+        elif self.skel_layer == "None":
+            skel = jnp.concatenate([pos_pj, rot_pj], axis=-1)
+        elif self.skel_layer == "NoneNoRel":
+            skel = pos_pj
+        else:
+            raise ValueError(f"unknown skel_layer {self.skel_layer!r}")
 
         # --- per-joint head (indep_projection, net_architecture.py:732-739)
         per_joint = jnp.concatenate([pos_pj, skel], axis=-1)

@@ -1,0 +1,112 @@
+"""Inference/serving API: one fused program from stereo RGB to 3D pose.
+
+The reference has no serving path (inference = test.py's eval loop). Here
+`Predictor` wraps the whole pipeline — frozen stage-1 heatmap nets, the
+Grid-ViT/PU lifter, optional on-device resize/normalization — into a
+single jitted function with a fixed batch shape, loading either converted
+reference ``.pth`` checkpoints or native Orbax checkpoints.
+
+    pred = Predictor.from_reference_checkpoints(
+        heatmap_pth, rot_heatmap_pth, lifter_pth, preset="UnrealEgo")
+    poses = pred(rgb)          # (B, 2, 256, 256, 3) -> (B, J, 3) cm
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from egotap_tpu.compat.convert import convert_heatmap_net, convert_lifter
+from egotap_tpu.compat.torch_loader import load_torch_checkpoint
+from egotap_tpu.core.config import Config
+from egotap_tpu.core.skeleton import get_skeleton
+from egotap_tpu.models.heatmap_net import HeatmapUNet
+from egotap_tpu.models.lifter import EgoTAPLifter
+
+
+class Predictor:
+    def __init__(self, cfg: Config, heatmap_vars: Dict,
+                 rot_heatmap_vars: Dict, lifter_vars: Dict,
+                 bf16: bool = True):
+        cfg = cfg.derive() if not hasattr(cfg, "estimate_head") else cfg
+        self.cfg = cfg
+        self.bf16 = bf16
+        sk = get_skeleton(cfg.joint_preset)
+        self.pos_net = HeatmapUNet(num_output_maps=cfg.num_heatmap,
+                                   model_name=cfg.model_name, views=cfg.views)
+        self.rot_net = HeatmapUNet(
+            num_output_maps=cfg.num_rot_heatmap * cfg.limb_dim,
+            model_name=cfg.model_name, views=cfg.views)
+        self.lifter = EgoTAPLifter(
+            num_heatmap=cfg.num_heatmap, num_joints=cfg.num_joints_out,
+            views=cfg.views, limb_dim=cfg.limb_dim,
+            hidden_size=cfg.ae_hidden_size, skel_layer=cfg.skel_layer,
+            num_pu_layers=cfg.n_skel_layers,
+            use_global_offset=(cfg.joint_preset == "UnrealEgo"
+                               and cfg.estimate_head),
+            parents=sk.parents)
+        self._vars = (heatmap_vars, rot_heatmap_vars, lifter_vars)
+        self._fn = jax.jit(self._forward)
+
+    def _forward(self, rgb: jnp.ndarray) -> jnp.ndarray:
+        hv, rv, lv = self._vars
+        x = rgb.astype(jnp.bfloat16 if self.bf16 else jnp.float32)
+        pos = self.pos_net.apply(hv, x, train=False)
+        rot = self.rot_net.apply(rv, x, train=False)
+        hm_cat = jnp.concatenate([pos, rot], axis=-1).astype(x.dtype)
+        pose = self.lifter.apply(lv, hm_cat, train=False)
+        return pose.astype(jnp.float32)
+
+    def __call__(self, rgb) -> np.ndarray:
+        """rgb: (B, views, H, W, 3) ImageNet-normalized float32."""
+        return np.asarray(self._fn(jnp.asarray(rgb)))
+
+    def heatmaps(self, rgb) -> np.ndarray:
+        """Debug path: the concatenated stage-1 heatmap stack."""
+        hv, rv, _ = self._vars
+        x = jnp.asarray(rgb)
+        pos = self.pos_net.apply(hv, x, train=False)
+        rot = self.rot_net.apply(rv, x, train=False)
+        return np.asarray(jnp.concatenate([pos, rot], axis=-1))
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_reference_checkpoints(cls, heatmap_pth: str,
+                                   rot_heatmap_pth: str, lifter_pth: str,
+                                   preset: str = "UnrealEgo",
+                                   bf16: bool = True,
+                                   **cfg_overrides) -> "Predictor":
+        """Build from released EgoTAP ``.pth`` files
+        (best_net_HeatMap / best_net_RotHeatMap / best_net_AutoEncoder)."""
+        nh = 15 if preset == "UnrealEgo" else 17
+        cfg = Config(joint_preset=preset, model="egotap_autoencoder",
+                     num_heatmap=nh, num_rot_heatmap=nh, heatmap_type="sin",
+                     skel_layer="PU", ae_hidden_size=128,
+                     patched_heatmap_ae=True, **cfg_overrides).derive()
+        as_vars = lambda v: jax.tree.map(jnp.asarray, v)  # noqa: E731
+        hv = as_vars(convert_heatmap_net(
+            load_torch_checkpoint(heatmap_pth), cfg.model_name))
+        rv = as_vars(convert_heatmap_net(
+            load_torch_checkpoint(rot_heatmap_pth), cfg.model_name))
+        lv = as_vars(convert_lifter(load_torch_checkpoint(lifter_pth)))
+        return cls(cfg, hv, rv, lv, bf16=bf16)
+
+    @classmethod
+    def from_orbax(cls, cfg: Config, experiment_dir: str,
+                   tag: str = "best", bf16: bool = True) -> "Predictor":
+        """Build from a native LifterTask checkpoint directory."""
+        import orbax.checkpoint as ocp
+        import os
+        with ocp.PyTreeCheckpointer() as ckptr:
+            restored = ckptr.restore(
+                os.path.abspath(os.path.join(experiment_dir, f"ckpt_{tag}")))
+        as_vars = lambda v: jax.tree.map(jnp.asarray, v)  # noqa: E731
+        lifter_vars = as_vars({"params": restored["params"],
+                               "batch_stats": restored["batch_stats"]})
+        frozen = restored["frozen"]
+        return cls(cfg, as_vars(frozen["heatmap"]),
+                   as_vars(frozen["rot_heatmap"]), lifter_vars, bf16=bf16)

@@ -31,6 +31,7 @@ from egotap_tpu.eval.evaluate import evaluate
 from egotap_tpu.train import state as state_lib
 from egotap_tpu.train.tasks import create_task
 from egotap_tpu.utils.logging import MetricWriter
+from egotap_tpu.utils.profiling import step_annotation
 
 
 def load_pretrained_heatmaps(cfg: Config) -> Tuple[Optional[Dict], Optional[Dict]]:
@@ -123,10 +124,18 @@ def train_main(cfg: Config) -> bool:
         epoch_losses: Dict[str, list] = {}
         t0 = time.time()
 
+        profiling = False
         for i, batch in enumerate(train_loader):
             batch.pop("paths", None)
+            if cfg.profile_dir and epoch == cfg.epoch_count and i == 2:
+                jax.profiler.start_trace(cfg.profile_dir)
+                profiling = True
             feed = pre({k: jnp.asarray(v) for k, v in batch.items()})
-            state, losses = task.train_step(state, feed)
+            with step_annotation("train", (epoch - 1) * iters_per_epoch + i):
+                state, losses = task.train_step(state, feed)
+            if profiling and i >= 2 + cfg.profile_steps:
+                jax.profiler.stop_trace()
+                profiling = False
             losses = {k: float(v) for k, v in losses.items()}
             step = (epoch - 1) * iters_per_epoch + i
             curr_itr = total_itr + i
@@ -156,6 +165,8 @@ def train_main(cfg: Config) -> bool:
             if restart_epoch or abort is not None:
                 break
 
+        if profiling:
+            jax.profiler.stop_trace()
         if abort is not None:
             writer.close()
             return abort

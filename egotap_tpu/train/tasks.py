@@ -161,6 +161,7 @@ class LifterTask:
             num_heatmap=self.nh, num_joints=cfg.num_joints_out,
             views=self.views, limb_dim=self.ld,
             hidden_size=cfg.ae_hidden_size,
+            skel_layer=cfg.skel_layer,
             num_pu_layers=cfg.n_skel_layers,
             use_global_offset=(cfg.joint_preset == "UnrealEgo"
                                and cfg.estimate_head),

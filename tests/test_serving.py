@@ -1,0 +1,88 @@
+"""Predictor API tests: loading converted reference .pth checkpoints and
+native Orbax checkpoints through one fused program."""
+
+import os
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+
+from egotap_tpu.core.config import Config
+from egotap_tpu.serving import Predictor
+
+
+class TestFromReferencePth:
+    @pytest.fixture(scope="class")
+    def pth_files(self, tmp_path_factory):
+        """Write torch-twin stage-1 checkpoints and a reference-layout
+        lifter checkpoint (from the golden fixture) as .pth files."""
+        from tests.test_cells import load_golden
+        from tests.torch_twin import TorchHeatmapNet, randomize_bn_stats
+
+        d = tmp_path_factory.mktemp("pth")
+        torch.manual_seed(0)
+        pos = TorchHeatmapNet(num_output_maps=15, views=2).eval()
+        rot = TorchHeatmapNet(num_output_maps=30, views=2).eval()
+        randomize_bn_stats(pos)
+        randomize_bn_stats(rot)
+        torch.save(pos.state_dict(), str(d / "best_net_HeatMap.pth"))
+        torch.save(rot.state_dict(), str(d / "best_net_RotHeatMap.pth"))
+
+        state, rest = load_golden("lifter_unrealego.npz")
+        torch.save({k: torch.from_numpy(np.array(v)) for k, v in state.items()},
+                   str(d / "best_net_AutoEncoder.pth"))
+        return str(d), rest
+
+    def test_end_to_end(self, pth_files, rng):
+        d, rest = pth_files
+        pred = Predictor.from_reference_checkpoints(
+            os.path.join(d, "best_net_HeatMap.pth"),
+            os.path.join(d, "best_net_RotHeatMap.pth"),
+            os.path.join(d, "best_net_AutoEncoder.pth"),
+            preset="UnrealEgo", bf16=False)
+        rgb = rng.normal(size=(1, 2, 256, 256, 3)).astype(np.float32)
+        poses = pred(rgb)
+        assert poses.shape == (1, 16, 3)
+        assert np.isfinite(poses).all()
+        hm = pred.heatmaps(rgb)
+        assert hm.shape == (1, 64, 64, 90)
+
+    def test_lifter_only_parity(self, pth_files):
+        """The converted lifter reproduces the golden pose given the golden
+        heatmap input."""
+        d, rest = pth_files
+        pred = Predictor.from_reference_checkpoints(
+            os.path.join(d, "best_net_HeatMap.pth"),
+            os.path.join(d, "best_net_RotHeatMap.pth"),
+            os.path.join(d, "best_net_AutoEncoder.pth"),
+            preset="UnrealEgo", bf16=False)
+        x = np.transpose(rest["x"], (0, 2, 3, 1))
+        pose = pred.lifter.apply(pred._vars[2], x, train=False)
+        np.testing.assert_allclose(np.asarray(pose), rest["out"],
+                                   atol=5e-3, rtol=1e-3)
+
+
+def test_from_orbax(tmp_path, rng):
+    from egotap_tpu.data.synthetic import generate_dataset, synthetic_config
+    from egotap_tpu.train import state as state_lib
+    from egotap_tpu.train.tasks import LifterTask
+
+    root = str(tmp_path / "data")
+    generate_dataset(root, "UnrealEgo", num_sequences=1, frames_per_seq=4,
+                     image_size=16)
+    cfg = synthetic_config(root, model="egotap_autoencoder", num_heatmap=15,
+                           num_rot_heatmap=15, heatmap_type="sin",
+                           skel_layer="PU", ae_hidden_size=32,
+                           load_size_heatmap=(16, 16), batch_size=2,
+                           log_dir=str(tmp_path / "log"),
+                           experiment_name="srv")
+    task = LifterTask(cfg)
+    state = task.init_state(jax.random.PRNGKey(0), 1)
+    state_lib.save_checkpoint(cfg.experiment_dir, "best", state)
+
+    pred = Predictor.from_orbax(cfg, cfg.experiment_dir, bf16=False)
+    rgb = rng.normal(size=(2, 2, 64, 64, 3)).astype(np.float32)
+    poses = pred(rgb)
+    assert poses.shape == (2, 16, 3)

@@ -133,9 +133,29 @@ def gen_lifter(preset, nh, tag):
     print(f"lifter_{tag}:", pose.shape)
 
 
+def gen_skel_lstm():
+    """Reference SkelNet in LSTM mode: a TRUE tree walk (nn.LSTM returns
+    fresh state tensors, so no aliasing)."""
+    torch.manual_seed(9)
+    gen = torch.Generator().manual_seed(10)
+    opt = _opt()
+    skel = na.SkelNet(opt, input_size=256, bridge_size=256, num_layers=2,
+                      batch_first=False, layer_type="LSTM").eval()
+    B, J = 3, 15
+    x = torch.randn(J, B, 256, generator=gen)
+    br = torch.randn(J, B, 256, generator=gen)
+    with torch.no_grad():
+        out = skel(x, br)  # (J, B, 512)
+    np.savez(f"{OUT}/skel_lstm.npz", x=x.numpy(), bridge=br.numpy(),
+             out=out.numpy(),
+             **{"sd/" + k: v for k, v in _state(skel).items()})
+    print("skel_lstm:", out.shape)
+
+
 if __name__ == "__main__":
     import os
     os.makedirs(OUT, exist_ok=True)
+    gen_skel_lstm()
     gen_pu_chain()
     gen_vit_encoder()
     gen_fc_encoder()
