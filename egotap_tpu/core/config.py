@@ -45,6 +45,7 @@ class Config:
     skel_layer: str = "LSTM"               # PU | None (chain-parity PU shipped)
     patched_heatmap_ae: bool = False
     init_ImageNet: bool = False
+    imagenet_backbone: Optional[str] = None  # torchvision resnet .pth
     init_type: str = "kaiming"
     path_to_trained_heatmap: Optional[str] = None
     n_skel_layers: int = 2

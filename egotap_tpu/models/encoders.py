@@ -42,6 +42,65 @@ class GridViTEncoder(nn.Module):
         return z.reshape(b, n * self.hidden_size)
 
 
+class ConvHeatmapEncoder(nn.Module):
+    """Legacy whole-stack conv encoder (reference ``HeatmapFeatureExtractor``,
+    model/net_architecture.py:276-317): 3 stride-2 ConvBlocks + 3 FCBlocks
+    producing one latent for the entire heatmap stack.
+
+    Upstream note: the reference's forward references an undefined
+    ``self.is_indep`` attribute, so the non-patched path crashes there
+    unless the attribute is injected; the shipped configs never use it.
+    Here the working (non-indep) semantics are implemented.
+    """
+
+    hidden_size: int = 128
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """(B, H, W, C) heatmap stack -> (B, hidden_size)."""
+        from egotap_tpu.models.layers import ConvBlock
+        b = x.shape[0]
+        for i, feats in enumerate((32, 64, 128)):
+            x = ConvBlock(feats, kernel_size=4, stride=2, padding=1,
+                          name=f"conv{i + 1}")(x, train=train)
+        x = x.reshape(b, -1)
+        x = FCBlock(2048, name="fc1")(x, train=train)
+        x = FCBlock(512, name="fc2")(x, train=train)
+        return FCBlock(self.hidden_size, name="fc3")(x, train=train)
+
+
+class HeatmapDecoder(nn.Module):
+    """Vestigial heatmap reconstruction decoder (reference
+    ``HeatmapDecoder``, model/net_architecture.py:417-464): FC stack to a
+    (H/8, W/8, 128) grid, then 3 stride-2 deconv blocks. The reference
+    instantiates it nowhere and returns zeros for reconstruction
+    (net_architecture.py:756); provided for API completeness.
+    """
+
+    num_heatmap: int
+    heatmap_size: int = 64
+
+    @nn.compact
+    def __call__(self, z: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """(B, hidden) latent -> (B, H, W, num_heatmap)."""
+        from egotap_tpu.models.layers import BN_EPS, BN_MOMENTUM, leaky_relu
+        b = z.shape[0]
+        g = self.heatmap_size // 8
+        z = FCBlock(512, name="fc1")(z, train=train)
+        z = FCBlock(2048, name="fc2")(z, train=train)
+        z = FCBlock(g * g * 128, name="fc3")(z, train=train)
+        x = z.reshape(b, g, g, 128)
+        for i, feats in enumerate((64, 32, self.num_heatmap)):
+            x = nn.ConvTranspose(feats, kernel_size=(4, 4), strides=(2, 2),
+                                 padding="SAME",
+                                 name=f"deconv{i + 1}")(x)
+            x = nn.BatchNorm(use_running_average=not train,
+                             momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                             name=f"deconv_bn{i + 1}")(x)
+            x = leaky_relu(x)
+        return x
+
+
 class LimbFCEncoder(nn.Module):
     """(B, M, C, H, W) limb heatmaps -> (B, M * hidden) embeddings.
 

@@ -27,6 +27,19 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up: call once per host before building the mesh
+    (the NCCL/MPI-equivalent; collectives then ride ICI within a slice and
+    DCN across slices). No-ops on a single process with no coordinator."""
+    if coordinator_address is None and num_processes is None:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
 def make_mesh(num_data: int = 0, num_model: int = 1) -> Mesh:
     """Build a ('data', 'model') mesh; num_data=0 uses all devices."""
     devices = jax.devices()

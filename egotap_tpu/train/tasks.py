@@ -60,9 +60,20 @@ class HeatmapTask:
 
     # ------------------------------------------------------------------
     def init_state(self, rng, iters_per_epoch: int) -> TrainState:
+        from egotap_tpu.models.initializers import (
+            apply_reference_init, load_imagenet_backbone)
         dummy = jnp.zeros((1, self.views, self.cfg.image_size,
                            self.cfg.image_size, 3))
-        variables = self.model.init(rng, dummy, train=False)
+        r_init, r_w = jax.random.split(rng)
+        variables = dict(self.model.init(r_init, dummy, train=False))
+        # reference init protocol (network_utils.py:69-82): kaiming
+        # everywhere, except a pretrained trunk is kept with init_ImageNet
+        skip = (("backbone",),) if self.cfg.init_ImageNet else ()
+        variables["params"] = apply_reference_init(
+            variables["params"], r_w, skip_prefixes=skip)
+        if self.cfg.init_ImageNet and self.cfg.imagenet_backbone:
+            variables = load_imagenet_backbone(
+                variables, self.cfg.imagenet_backbone, self.cfg.model_name)
         self.tx = make_optimizer(self.cfg, iters_per_epoch)
         return TrainState(
             step=jnp.zeros((), jnp.int32),
@@ -171,14 +182,18 @@ class LifterTask:
     def init_state(self, rng, iters_per_epoch: int,
                    heatmap_vars: Optional[Dict] = None,
                    rot_heatmap_vars: Optional[Dict] = None) -> TrainState:
+        from egotap_tpu.models.initializers import apply_reference_init
         cfg = self.cfg
-        r1, r2, r3 = jax.random.split(rng, 3)
+        r1, r2, r3, r4 = jax.random.split(rng, 4)
         dummy_rgb = jnp.zeros((1, self.views, cfg.image_size, cfg.image_size, 3))
         hv = heatmap_vars or self.pos_net.init(r1, dummy_rgb)
         rv = rot_heatmap_vars or self.rot_net.init(r2, dummy_rgb)
         chans = (self.nh + self.nr * self.ld) * self.views
-        lv = self.lifter.init(
-            r3, jnp.zeros((1, cfg.heatmap_res, cfg.heatmap_res, chans)))
+        lv = dict(self.lifter.init(
+            r3, jnp.zeros((1, cfg.heatmap_res, cfg.heatmap_res, chans))))
+        # the reference always kaiming-inits the lifter after construction
+        # (define_AutoEncoder passes init_ImageNet=False, network.py:24-33)
+        lv["params"] = apply_reference_init(lv["params"], r4)
         self.tx = make_optimizer(cfg, iters_per_epoch)
         return TrainState(
             step=jnp.zeros((), jnp.int32),

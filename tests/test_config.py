@@ -1,0 +1,102 @@
+import math
+
+import numpy as np
+import pytest
+import torch
+
+from egotap_tpu.core.config import PRESETS, Config
+from egotap_tpu.train.optim import make_schedule
+
+
+class TestConfig:
+    def test_derive_unrealego(self):
+        cfg = Config(joint_preset="UnrealEgo").derive()
+        assert cfg.estimate_head and cfg.stereo
+        assert cfg.views == 2
+        assert cfg.num_joints_out == 16
+
+    def test_derive_egocap(self):
+        cfg = Config(joint_preset="EgoCap", num_heatmap=17).derive()
+        assert not cfg.estimate_head and cfg.stereo
+        assert cfg.num_joints_out == 17
+
+    def test_derive_mono(self):
+        cfg = Config(joint_preset="xR-Egopose").derive()
+        assert cfg.estimate_head and not cfg.stereo
+        assert cfg.views == 1
+
+    def test_limb_dim(self):
+        assert Config(heatmap_type="sin").limb_dim == 2
+        assert Config(heatmap_type="limb").limb_dim == 1
+        assert Config(heatmap_type="none").limb_dim == 0
+
+    def test_from_args_preset(self):
+        cfg = Config.from_args(["--preset", "egotap_unrealego",
+                                "--data_dir", "/tmp/x", "--batch_size", "8"])
+        assert cfg.skel_layer == "PU"
+        assert cfg.ae_hidden_size == 128
+        assert cfg.patched_heatmap_ae
+        assert cfg.batch_size == 8          # override wins
+        assert cfg.data_dir == "/tmp/x"
+        assert cfg.heatmap_type == "sin"
+        assert cfg.optimizer_type == "AdamW"
+
+    def test_presets_cover_shipped_scripts(self):
+        names = {"unrealego_heatmap_joint", "unrealego_heatmap_limb",
+                 "egotap_unrealego", "egotap_egocap",
+                 "egocap_heatmap_joint", "egocap_heatmap_limb"}
+        assert names <= set(PRESETS)
+
+    def test_save(self, tmp_path):
+        cfg = Config().derive()
+        cfg.save(str(tmp_path / "train_opt.txt"))
+        text = (tmp_path / "train_opt.txt").read_text()
+        assert "batch_size: 16" in text
+
+
+class TestSchedules:
+    def _torch_lambda_lrs(self, cfg, epochs):
+        opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=cfg.lr)
+        sched = torch.optim.lr_scheduler.LambdaLR(
+            opt, lambda e: 1.0 - max(0, e + cfg.epoch_count - cfg.niter)
+            / float(cfg.niter_decay + 1))
+        lrs = []
+        for _ in range(epochs):
+            lrs.append(opt.param_groups[0]["lr"])
+            sched.step()
+        return lrs
+
+    def test_lambda_matches_torch(self):
+        cfg = Config(lr=1e-3, niter=2, niter_decay=5, lr_policy="lambda")
+        ipe = 10
+        sched = make_schedule(cfg, ipe)
+        want = self._torch_lambda_lrs(cfg, 7)
+        got = [float(sched(e * ipe)) for e in range(7)]
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_cos_anneal_warmup_matches_hf(self):
+        cfg = Config(lr=1e-3, niter=1, niter_decay=3,
+                     lr_policy="cos_anneal_warmup")
+        ipe = 8
+        sched = make_schedule(cfg, ipe)
+        warmup, total = 1 * ipe, 4 * ipe
+
+        def hf(step):  # transformers get_cosine_schedule_with_warmup
+            if step < warmup:
+                return step / max(1, warmup)
+            progress = (step - warmup) / max(1, total - warmup)
+            return max(0.0, 0.5 * (1.0 + math.cos(math.pi * progress)))
+
+        for step in range(0, total + 4):
+            assert float(sched(step)) == pytest.approx(
+                cfg.lr * hf(min(step, total)), abs=1e-9), step
+
+    def test_step_and_exponent(self):
+        cfg = Config(lr=1.0, lr_policy="step", lr_decay_iters_step=2)
+        sched = make_schedule(cfg, 1)
+        assert float(sched(0)) == 1.0
+        assert float(sched(2)) == 0.5
+        assert float(sched(4)) == 0.25
+        cfg2 = Config(lr=1.0, lr_policy="exponent")
+        s2 = make_schedule(cfg2, 1)
+        assert float(s2(3)) == pytest.approx(0.95 ** 3)
