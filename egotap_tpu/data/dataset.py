@@ -69,7 +69,9 @@ def load_frame(path: str, stereo: bool = True) -> Dict[str, np.ndarray]:
     out: Dict[str, np.ndarray] = {}
     for k in _FRAME_KEYS:
         if not stereo and k.endswith("_right"):
-            src = data.get(k, data[k.replace("_right", "_left")])
+            # mono: mirror left into right (reference
+            # dataloader/data_loader.py:106-108, 120-121)
+            src = data[k.replace("_right", "_left")]
         else:
             src = data[k]
         arr = np.asarray(src, dtype=np.float32)

@@ -42,6 +42,7 @@ def evaluate(cfg: Config, task, state, mode: str = "test",
     acc = MetricAccumulator()
 
     pred_poses, gt_poses, input_paths = [], [], []
+    pending = []  # (device metrics, mask, device poses) — read back at end
     elapsed = 0.0
     n_samples = 0
 
@@ -49,22 +50,28 @@ def evaluate(cfg: Config, task, state, mode: str = "test",
         if max_batches is not None and bi >= max_batches:
             break
         paths = batch.pop("paths")
+        mask = batch["mask"]
         feed = pre({k: jnp.asarray(v) for k, v in batch.items()})
         t0 = time.perf_counter()
         out = task.eval_step(state, feed)
         out = jax.block_until_ready(out)
         elapsed += time.perf_counter() - t0
 
-        mask = np.asarray(feed["mask"])
-        n_valid = int(mask.sum())
-        n_samples += n_valid
-        acc.update({k: np.asarray(v) for k, v in out["metrics"].items()},
-                   mask=mask)
-        if save_result and "pred_pose" in out:
-            keep = mask.astype(bool)
-            pred_poses.append(np.asarray(out["pred_pose"])[keep])
-            gt_poses.append(np.asarray(out["gt_pose"])[keep])
+        n_samples += int(mask.sum())
+        # keep results on device; host conversion happens after the loop so
+        # the device pipeline is never stalled on metric readbacks
+        poses = (out.get("pred_pose"), out.get("gt_pose")) if save_result \
+            else None
+        pending.append((out["metrics"], mask, poses))
+        if save_result:
             input_paths.extend(paths)
+
+    for metrics, mask, poses in pending:
+        acc.update({k: np.asarray(v) for k, v in metrics.items()}, mask=mask)
+        if poses is not None and poses[0] is not None:
+            keep = np.asarray(mask).astype(bool)
+            pred_poses.append(np.asarray(poses[0])[keep])
+            gt_poses.append(np.asarray(poses[1])[keep])
 
     if save_result and pred_poses:
         save_path = cfg.results_dir
