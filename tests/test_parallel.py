@@ -62,10 +62,12 @@ def test_data_parallel_train_step_matches_single_device(root):
     l1 = jax.tree.leaves(s1.params)
     l2 = jax.tree.leaves(s2.params)
     for a, b in zip(l1, l2):
-        # cross-replica reductions reorder f32 sums, and Adam's normalizer
-        # amplifies tiny gradient differences at step 1 — but the update
-        # magnitude is bounded by lr (1e-3), so compare absolutely
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+        # cross-replica reductions reorder f32 sums; Adam at step 1 is
+        # sign-like (m_hat/sqrt(v_hat) ~ sign(g)), so a near-zero gradient
+        # whose sign flips under reordering moves the parameter by up to
+        # 2*lr — compare with that worst-case absolute bound
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3 + 1e-6)
 
 
 def test_lifter_eval_step_sharded(root):
