@@ -41,6 +41,17 @@ def evaluate(cfg: Config, task, state, mode: str = "test",
     pre = make_device_preprocess(cfg)
     acc = MetricAccumulator()
 
+    # shard eval batches over the data mesh when multiple devices are
+    # available (per-sample metrics gather back automatically)
+    shard = None
+    n_dev = len(jax.devices())
+    if n_dev > 1 and cfg.batch_size % n_dev == 0:
+        from egotap_tpu.parallel.mesh import (
+            make_mesh, replicate, shard_batch)
+        mesh = make_mesh()
+        state = replicate(state, mesh)
+        shard = lambda b: shard_batch(b, mesh)  # noqa: E731
+
     pred_poses, gt_poses, input_paths = [], [], []
     pending = []  # (device metrics, mask, device poses) — read back at end
     elapsed = 0.0
@@ -52,6 +63,8 @@ def evaluate(cfg: Config, task, state, mode: str = "test",
         paths = batch.pop("paths")
         mask = batch["mask"]
         feed = pre({k: jnp.asarray(v) for k, v in batch.items()})
+        if shard is not None:
+            feed = shard(feed)
         t0 = time.perf_counter()
         out = task.eval_step(state, feed)
         out = jax.block_until_ready(out)
