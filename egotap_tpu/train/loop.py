@@ -108,6 +108,15 @@ def train_main(cfg: Config) -> bool:
     writer = MetricWriter(os.path.join(cfg.experiment_dir, "summary"),
                           clear=(cfg.epoch_count == 1))
 
+    # dataset provenance copy (reference record_dataset_information,
+    # train.py:36-47)
+    prov = os.path.join(cfg.data_dir, "modify_dataset_log.txt")
+    if os.path.exists(prov):
+        import shutil
+        ds_dir = os.path.join(cfg.experiment_dir, "dataset")
+        os.makedirs(ds_dir, exist_ok=True)
+        shutil.copy(prov, os.path.join(ds_dir, "modify_dataset_log.txt"))
+
     best_metric = math.inf
     best_metrics = None
     loss_records: Dict[str, Tuple[int, float]] = {}
