@@ -70,6 +70,10 @@ class Config:
     save_epoch_freq: int = 1
     auto_restart: bool = False
     auto_terminate: bool = False
+    # early-convergence watchdog window overrides (None = reference values:
+    # check during first 3000/8000 iters, stall after 200/400; train.py:165-174)
+    watchdog_check_iters: Optional[int] = None
+    watchdog_stall_iters: Optional[int] = None
     use_amp: bool = False                  # bf16 compute on TPU
     seed: int = 0
 

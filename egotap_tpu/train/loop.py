@@ -120,8 +120,10 @@ def train_main(cfg: Config) -> bool:
     best_metric = math.inf
     best_metrics = None
     loss_records: Dict[str, Tuple[int, float]] = {}
-    check_itr = 3000 if "Heatmap" in task.name else 8000
-    stall_threshold = 200 if "Heatmap" in task.name else 400
+    check_itr = cfg.watchdog_check_iters if cfg.watchdog_check_iters \
+        else (3000 if "Heatmap" in task.name else 8000)
+    stall_threshold = cfg.watchdog_stall_iters if cfg.watchdog_stall_iters \
+        else (200 if "Heatmap" in task.name else 400)
 
     print("---------------------Start Training-----------------------")
     epoch = cfg.epoch_count

@@ -47,8 +47,9 @@ def test_early_convergence_watchdog(root, tmp_path):
     # constant, so the no-improvement window (200 iterations for heatmap
     # models) elapses deterministically and the watchdog requests a
     # from-scratch restart
-    cfg = _cfg(root, tmp_path, batch_size=8, niter=250, niter_decay=0,
+    cfg = _cfg(root, tmp_path, batch_size=8, niter=30, niter_decay=0,
                lr=0.0, experiment_name="stall", auto_restart=True,
                val_epoch_freq=10 ** 6, save_epoch_freq=10 ** 6,
-               print_epoch_freq=10 ** 6)
+               print_epoch_freq=10 ** 6,
+               watchdog_check_iters=100, watchdog_stall_iters=10)
     assert train_main(cfg) is False  # early-convergence restart requested
