@@ -16,6 +16,14 @@ _DEFAULT_DIR = os.path.join(os.path.dirname(os.path.dirname(
 
 
 def enable_compilation_cache(path: str | None = None) -> None:
+    # TPU-only: CPU AOT artifacts cached from the remote-compile machine
+    # carry CPU-feature flags this host may lack (risk of SIGILL), and CPU
+    # compiles are fast anyway.
+    try:
+        if jax.default_backend() != "tpu":
+            return
+    except Exception:
+        return
     path = path or os.environ.get("EGOTAP_JAX_CACHE", _DEFAULT_DIR)
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
