@@ -74,6 +74,10 @@ class Config:
     # check during first 3000/8000 iters, stall after 200/400; train.py:165-174)
     watchdog_check_iters: Optional[int] = None
     watchdog_stall_iters: Optional[int] = None
+    # host-sync cadence for loss readback: 1 = per step (reference .item()
+    # semantics); larger values keep the device pipeline busy and batch
+    # the NaN/watchdog checks
+    loss_sync_every: int = 1
     use_amp: bool = False                  # bf16 compute on TPU
     seed: int = 0
 

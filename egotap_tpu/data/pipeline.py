@@ -21,10 +21,7 @@ final batch never retriggers XLA compilation.
 
 from __future__ import annotations
 
-import functools
 import os
-import queue
-import threading
 from typing import Dict, Iterator, Optional
 
 import jax

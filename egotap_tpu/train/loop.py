@@ -136,6 +136,39 @@ def train_main(cfg: Config) -> bool:
         t0 = time.time()
 
         profiling = False
+        pending = []  # (i, step, curr_itr, device loss dict)
+        stall = None
+
+        def flush_losses():
+            """Host-sync buffered losses: logging, NaN/Inf protocol and the
+            early-convergence watchdog (semantically identical to per-step
+            checks, batched every cfg.loss_sync_every steps)."""
+            nonlocal restart_epoch, abort, stall
+            for (bi, step, curr_itr, dl) in pending:
+                losses = {k: float(v) for k, v in dl.items()}
+                for k, v in losses.items():
+                    epoch_losses.setdefault(k, []).append(v)
+                    writer.scalar(f"Batch/{k}", v, step)
+                    if math.isnan(v) or math.isinf(v):
+                        tag = "nan" if math.isnan(v) else "inf"
+                        print(f"{k} loss is {tag.upper()}!")
+                        state_lib.save_checkpoint(cfg.experiment_dir, tag,
+                                                  state)
+                        if epoch > 1:
+                            restart_epoch = True
+                        else:
+                            abort = cfg.auto_terminate
+                        return
+                    if cfg.auto_restart and curr_itr < check_itr:
+                        if k not in loss_records or v < loss_records[k][1]:
+                            loss_records[k] = (curr_itr, v)
+                        elif curr_itr - loss_records[k][0] > stall_threshold:
+                            print(f"Early convergence detected at {bi} "
+                                  f"({v:.3e}) for {k}!")
+                            stall = True
+                            return
+            pending.clear()
+
         for i, batch in enumerate(train_loader):
             batch.pop("paths", None)
             if cfg.profile_dir and epoch == cfg.epoch_count and i == 2:
@@ -147,41 +180,26 @@ def train_main(cfg: Config) -> bool:
             if profiling and i >= 2 + cfg.profile_steps:
                 jax.profiler.stop_trace()
                 profiling = False
-            losses = {k: float(v) for k, v in losses.items()}
-            step = (epoch - 1) * iters_per_epoch + i
-            curr_itr = total_itr + i
-
-            for k, v in losses.items():
-                epoch_losses.setdefault(k, []).append(v)
-                writer.scalar(f"Batch/{k}", v, step)
-                if math.isnan(v) or math.isinf(v):
-                    tag = "nan" if math.isnan(v) else "inf"
-                    print(f"{k} loss is {tag.upper()}!")
-                    state_lib.save_checkpoint(cfg.experiment_dir, tag, state)
-                    if epoch > 1:
-                        state = state_lib.load_checkpoint(
-                            cfg.experiment_dir, epoch - 1, state)
-                        restart_epoch = True
-                    else:
-                        abort = cfg.auto_terminate
-                    break
-                if cfg.auto_restart and curr_itr < check_itr:
-                    if k not in loss_records or v < loss_records[k][1]:
-                        loss_records[k] = (curr_itr, v)
-                    elif curr_itr - loss_records[k][0] > stall_threshold:
-                        print(f"Early convergence detected at {i} "
-                              f"({v:.3e}) for {k}!")
-                        writer.close()
-                        return False
-            if restart_epoch or abort is not None:
+            pending.append((i, (epoch - 1) * iters_per_epoch + i,
+                            total_itr + i, losses))
+            if len(pending) >= max(1, cfg.loss_sync_every):
+                flush_losses()
+            if restart_epoch or abort is not None or stall:
                 break
 
+        if not (restart_epoch or abort is not None or stall):
+            flush_losses()
         if profiling:
             jax.profiler.stop_trace()
+        if stall:
+            writer.close()
+            return False
         if abort is not None:
             writer.close()
             return abort
         if restart_epoch:
+            state = state_lib.load_checkpoint(
+                cfg.experiment_dir, epoch - 1, state)
             continue
 
         if epoch % cfg.val_epoch_freq == 0:
