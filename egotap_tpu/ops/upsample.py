@@ -37,12 +37,17 @@ def upsample2x_align_corners(x: jnp.ndarray) -> jnp.ndarray:
     """Exact ``Upsample(scale_factor=2, bilinear, align_corners=True)``.
 
     x: (..., H, W, C) NHWC. Returns (..., 2H, 2W, C).
+
+    Precision: HIGHEST for f32 inputs (checkpoint-parity eval path);
+    default for bf16 (the interpolation error is below bf16 activation
+    granularity anyway, and the multi-pass f32 emulation costs ~8% of the
+    heatmap stage).
     """
     h, w = x.shape[-3], x.shape[-2]
     Wh = jnp.asarray(_interp_matrix(h, 2 * h))
     Ww = jnp.asarray(_interp_matrix(w, 2 * w))
-    x = jnp.einsum("oh,...hwc->...owc", Wh, x,
-                   precision=jax.lax.Precision.HIGHEST)
-    x = jnp.einsum("pw,...owc->...opc", Ww, x,
-                   precision=jax.lax.Precision.HIGHEST)
+    prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    x = jnp.einsum("oh,...hwc->...owc", Wh.astype(x.dtype), x, precision=prec)
+    x = jnp.einsum("pw,...owc->...opc", Ww.astype(x.dtype), x, precision=prec)
     return x
