@@ -82,7 +82,11 @@ class ViTBlock(nn.Module):
 
         y = nn.LayerNorm(epsilon=LN_EPS, name="ln_after", dtype=x.dtype)(x)
         y = nn.Dense(self.mlp_dim, name="mlp_in", dtype=x.dtype)(y)
-        y = jax.nn.gelu(y, approximate=False)
+        # exact erf-gelu on the f32 parity path (the HF reference's
+        # activation); under bf16 compute the tanh approximation's ~1e-3
+        # relative error is below activation granularity and the erf is
+        # ~25% of the whole ViT's time on the VPU
+        y = jax.nn.gelu(y, approximate=(x.dtype != jnp.float32))
         return x + nn.Dense(d, name="mlp_out", dtype=x.dtype)(y)
 
 

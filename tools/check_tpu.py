@@ -69,8 +69,10 @@ def check_bf16_lifter():
     diff = float(jnp.max(jnp.abs(f32 - bf16.astype(jnp.float32))))
     ref_diff = float(np.max(np.abs(np.asarray(f32) - data["out"])))
     print(f"lifter f32-TPU vs reference-golden max diff: {ref_diff:.2e} cm")
-    print(f"lifter bf16 vs f32 max pose diff: {diff:.2e} cm "
+    print(f"lifter bf16(+tanh-gelu) vs f32 max pose diff: {diff:.2e} cm "
           f"({diff * 10:.2e} mm)")
+    assert ref_diff < 0.1, "f32 parity must stay within 1 mm"
+    assert diff * 10 < 1.0, "bf16 fast path must stay within 1 mm"
 
 
 if __name__ == "__main__":
