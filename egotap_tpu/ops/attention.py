@@ -58,6 +58,30 @@ def _attention_jnp(q, k, v):
     return jnp.einsum("bqk,bkd->bqd", probs, v)
 
 
+@jax.custom_vjp
+def _fused_attention(q, k, v):
+    # dispatch on the actual lowering platform (works under
+    # jax.default_device(cpu) contexts and multi-backend processes)
+    return jax.lax.platform_dependent(
+        q, k, v, tpu=_attention_pallas, default=_attention_jnp)
+
+
+def _fused_attention_fwd(q, k, v):
+    return _fused_attention(q, k, v), (q, k, v)
+
+
+def _fused_attention_bwd(res, g):
+    # backward recomputes attention via the jnp formulation and
+    # differentiates that — numerically the same function, and it keeps
+    # the pallas forward usable under autodiff (training)
+    q, k, v = res
+    _, vjp = jax.vjp(_attention_jnp, q, k, v)
+    return vjp(g)
+
+
+_fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
+
+
 def multihead_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                         use_pallas: bool = True) -> jnp.ndarray:
     """(B, H, S, D) q/k/v -> (B, H, S, D) context."""
@@ -65,10 +89,7 @@ def multihead_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     flat = (b * h, s, d)
     qf, kf, vf = (x.reshape(flat) for x in (q, k, v))
     if use_pallas and s % 8 == 0 and d % 128 == 0:
-        # dispatch on the actual lowering platform (works under
-        # jax.default_device(cpu) contexts and multi-backend processes)
-        out = jax.lax.platform_dependent(
-            qf, kf, vf, tpu=_attention_pallas, default=_attention_jnp)
+        out = _fused_attention(qf, kf, vf)
     else:
         out = _attention_jnp(qf, kf, vf)
     return out.reshape(b, h, s, d)

@@ -35,6 +35,16 @@ def check_attention():
     print(f"attention pallas-vs-jnp max diff: {diff:.2e}")
     assert diff < 1e-3, diff
 
+    # the pallas forward must be differentiable (training path)
+    def loss(q, k, v):
+        return jnp.sum(multihead_attention(q, k, v, True) ** 2)
+    g = jax.jit(jax.grad(loss))(q, kk, v)
+    gd = jax.jit(jax.grad(lambda q, k, v: jnp.sum(
+        multihead_attention(q, k, v, False) ** 2)))(q, kk, v)
+    gdiff = float(jnp.max(jnp.abs(g - gd)))
+    print(f"attention grad pallas-vs-jnp max diff: {gdiff:.2e}")
+    assert gdiff < 1e-2, gdiff
+
 
 def check_pu_kernel():
     from egotap_tpu.models.cells import PUChain
