@@ -1,5 +1,8 @@
 """Checkpoint round-trip equivalence: save -> load -> identical outputs."""
 
+import pytest as _pytest
+pytestmark = _pytest.mark.slow
+
 import numpy as np
 import pytest
 

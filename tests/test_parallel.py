@@ -1,5 +1,8 @@
 """Multi-device (8 virtual CPU) data-parallel tests."""
 
+import pytest as _pytest
+pytestmark = _pytest.mark.slow
+
 import numpy as np
 import pytest
 

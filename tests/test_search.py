@@ -1,3 +1,6 @@
+import pytest as _pytest
+pytestmark = _pytest.mark.slow
+
 import json
 import os
 

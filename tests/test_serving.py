@@ -1,6 +1,9 @@
 """Predictor API tests: loading converted reference .pth checkpoints and
 native Orbax checkpoints through one fused program."""
 
+import pytest as _pytest
+pytestmark = _pytest.mark.slow
+
 import os
 
 import numpy as np

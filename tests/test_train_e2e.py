@@ -1,6 +1,9 @@
 """End-to-end training/eval smoke tests on the synthetic dataset (tiny
 shapes: 64px RGB, 16px heatmaps)."""
 
+import pytest as _pytest
+pytestmark = _pytest.mark.slow
+
 import os
 
 import numpy as np

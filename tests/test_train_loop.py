@@ -1,6 +1,9 @@
 """train_main smoke test: full epoch loop with validation, best tracking,
 checkpointing, and the final test + category evaluation."""
 
+import pytest as _pytest
+pytestmark = _pytest.mark.slow
+
 import os
 
 import pytest

@@ -1,5 +1,8 @@
 """Failure-detection protocol tests (reference train.py:137-177)."""
 
+import pytest as _pytest
+pytestmark = _pytest.mark.slow
+
 import os
 
 import pytest
