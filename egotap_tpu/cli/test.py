@@ -31,6 +31,10 @@ def main(argv=None) -> None:
     os.makedirs(cfg.results_dir, exist_ok=True)
     cfg.save(os.path.join(cfg.experiment_dir, "test_opt.txt"))
 
+    if not state_lib.checkpoint_exists(cfg.experiment_dir, "best"):
+        raise SystemExit(
+            f"no 'best' checkpoint under {cfg.experiment_dir} — train "
+            f"{cfg.experiment_name!r} first (fail-fast before model init)")
     task = create_task(cfg)
     state = _init_task_state(cfg, task, iters_per_epoch=1)
     state = state_lib.load_checkpoint(cfg.experiment_dir, "best", state)

@@ -169,6 +169,9 @@ class Config:
         args = vars(parser.parse_args(argv))
         chosen = args.pop("preset", None)
         if chosen:
+            if chosen not in PRESETS:
+                parser.error(f"unknown preset {chosen!r}; available: "
+                             + ", ".join(sorted(PRESETS)))
             merged = dataclasses.asdict(cls(**PRESETS[chosen]))
             defaults = dataclasses.asdict(cls())
             for k, v in args.items():
