@@ -36,7 +36,8 @@ def evaluate(cfg: Config, task, state, mode: str = "test",
     pairs/sec)."""
     loader = make_loader(cfg, mode, category_id)
     if len(loader) == 0:
-        print("Evaluation dataset is empty!")
+        suffix = f" (category {category_id})" if category_id else ""
+        print(f"Evaluation dataset is empty!{suffix}")
         return {}, {}, 0.0
     pre = make_device_preprocess(cfg)
     acc = MetricAccumulator()

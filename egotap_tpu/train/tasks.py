@@ -9,10 +9,15 @@ nets + lifter + losses + optimizer), so a step is a single device program.
   * `HeatmapTask`  — stage 1 (reference model/heatmap_shared_model.py).
   * `LifterTask`   — stage 2 (reference model/egotap_autoencoder_model.py):
     frozen pretrained pos/rot heatmap nets feed the EgoTAP lifter; only the
-    lifter is optimized (:139-152). Parity quirk preserved: during
+    lifter is optimized (:139-152). Parity quirks preserved: during
     training the frozen nets run with train-mode BatchNorm and their
     running stats update (the reference calls model.train() on everything,
-    train.py:91), while eval uses running stats.
+    train.py:91), while eval uses running stats. Note the reference's
+    "train_heatmap" mode (no --path_to_trained_heatmap) computes heatmap
+    losses and gradients but constructs NO optimizer for the heatmap nets
+    (:139-152), so their parameters never update — here the heatmap nets
+    are always stop_gradient'ed, which yields identical parameter
+    evolution without the wasted backward pass.
 """
 
 from __future__ import annotations
