@@ -44,6 +44,33 @@ def _dtype(cfg: Config):
                             cfg.compute_dtype == "bfloat16") else jnp.float32
 
 
+def _load_heatmap_variables(cfg: Config, path: str):
+    """Load HeatmapUNet variables from a converted .pth file or an Orbax
+    checkpoint directory (``.../ckpt_{tag}`` or an experiment dir holding
+    ``ckpt_best``)."""
+    import os
+
+    from egotap_tpu.compat.convert import convert_heatmap_net
+    from egotap_tpu.compat.torch_loader import load_torch_checkpoint
+
+    if path.startswith("./log/"):  # legacy path rewrite (base_model.py:140-142)
+        path = os.path.join(cfg.log_dir, path[len("./log/"):])
+    if os.path.isfile(path):
+        variables = convert_heatmap_net(load_torch_checkpoint(path),
+                                        cfg.model_name)
+        return jax.tree.map(jnp.asarray, variables)
+    ckpt = path if os.path.basename(path).startswith("ckpt_") \
+        else os.path.join(path, "ckpt_best")
+    if os.path.isdir(ckpt):
+        import orbax.checkpoint as ocp
+        with ocp.PyTreeCheckpointer() as ckptr:
+            restored = ckptr.restore(os.path.abspath(ckpt))
+        return jax.tree.map(jnp.asarray, {
+            "params": restored["params"],
+            "batch_stats": restored["batch_stats"]})
+    raise FileNotFoundError(f"no heatmap checkpoint at {path}")
+
+
 class HeatmapTask:
     """Stage-1 heatmap estimator training/eval."""
 
@@ -79,6 +106,12 @@ class HeatmapTask:
         if self.cfg.init_ImageNet and self.cfg.imagenet_backbone:
             variables = load_imagenet_backbone(
                 variables, self.cfg.imagenet_backbone, self.cfg.model_name)
+        if self.cfg.path_to_trained_heatmap:
+            # stage-1 warm start from a trained heatmap net (reference
+            # model/heatmap_shared_model.py:59-64); accepts a converted
+            # .pth or a native orbax checkpoint directory
+            variables = _load_heatmap_variables(
+                self.cfg, self.cfg.path_to_trained_heatmap)
         self.tx = make_optimizer(self.cfg, iters_per_epoch)
         return TrainState(
             step=jnp.zeros((), jnp.int32),
