@@ -37,7 +37,8 @@ def main(argv=None) -> None:
             f"{cfg.experiment_name!r} first (fail-fast before model init)")
     task = create_task(cfg)
     state = _init_task_state(cfg, task, iters_per_epoch=1)
-    state = state_lib.load_checkpoint(cfg.experiment_dir, "best", state)
+    state = state_lib.load_checkpoint(cfg.experiment_dir, "best", state,
+                                      restore_opt_state=False)
 
     print("-----------------Test Best Model-----------------")
     metrics, stats, pps = evaluate(cfg, task, state, mode="test",

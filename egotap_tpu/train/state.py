@@ -47,11 +47,26 @@ def save_checkpoint(experiment_dir: str, tag, state: TrainState,
 
 
 def load_checkpoint(experiment_dir: str, tag,
-                    template: TrainState) -> TrainState:
+                    template: TrainState,
+                    restore_opt_state: bool = True) -> TrainState:
+    """Restore a checkpoint. With restore_opt_state=False only the model
+    variables (params/batch_stats/frozen/step) are taken and the template's
+    optimizer state is kept — evaluation must not depend on the training
+    optimizer (e.g. testing an AdamW-trained run from an Adam-configured
+    process)."""
     path = _ckpt_dir(experiment_dir, tag)
     with ocp.PyTreeCheckpointer() as ckptr:
-        restored = ckptr.restore(path, item=jax.device_get(template))
-    return jax.tree.map(jnp.asarray, restored)
+        if restore_opt_state:
+            restored = ckptr.restore(path, item=jax.device_get(template))
+            return jax.tree.map(jnp.asarray, restored)
+        raw = ckptr.restore(path)
+    as_arr = lambda t: jax.tree.map(jnp.asarray, t)  # noqa: E731
+    return template.replace(
+        step=jnp.asarray(raw["step"]),
+        params=as_arr(raw["params"]),
+        batch_stats=as_arr(raw["batch_stats"]),
+        frozen=as_arr(raw["frozen"]),
+    )
 
 
 def checkpoint_exists(experiment_dir: str, tag) -> bool:

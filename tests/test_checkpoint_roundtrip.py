@@ -51,3 +51,17 @@ def test_save_load_identical_predictions(tmp_path, rng):
     for k in l1:
         assert float(l1[k]) == pytest.approx(float(l2[k]), rel=1e-6)
     assert int(s1.step) == int(s2.step)
+
+    # eval-only restore must work across optimizer configs (the test CLI
+    # may be launched without the training-run's optimizer flags)
+    import dataclasses
+    # saved run used Adam; restore into an AdamW-configured task, whose
+    # opt_state tree differs — only model variables are taken
+    cfg_adamw = dataclasses.replace(cfg, optimizer_type="AdamW",
+                                    lr_policy="cos_anneal_warmup").derive()
+    task2 = create_task(cfg_adamw)
+    template2 = task2.init_state(jax.random.PRNGKey(2), 1)
+    restored2 = state_lib.load_checkpoint(cfg.experiment_dir, 7, template2,
+                                          restore_opt_state=False)
+    after2 = np.asarray(task2.eval_step(restored2, feed)["pred_pose"])
+    np.testing.assert_array_equal(before, after2)
