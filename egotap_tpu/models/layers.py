@@ -40,6 +40,7 @@ class ConvReLU(nn.Module):
     kernel_size: int = 3
     padding: int = 1
     stride: int = 1
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -48,6 +49,7 @@ class ConvReLU(nn.Module):
             kernel_size=(self.kernel_size, self.kernel_size),
             strides=(self.stride, self.stride),
             padding=[(self.padding, self.padding)] * 2,
+            feature_group_count=self.groups,
             use_bias=True,
             name="conv",
             dtype=x.dtype,

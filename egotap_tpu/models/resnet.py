@@ -42,11 +42,13 @@ def _bn(name: str, train: bool, dtype):
                         epsilon=BN_EPS, name=name, dtype=dtype)
 
 
-def _conv(features: int, kernel: int, stride: int, name: str, dtype):
+def _conv(features: int, kernel: int, stride: int, name: str, dtype,
+          groups: int = 1):
     pad = kernel // 2
     return nn.Conv(features, kernel_size=(kernel, kernel),
                    strides=(stride, stride),
                    padding=[(pad, pad), (pad, pad)],
+                   feature_group_count=groups,
                    use_bias=False, name=name, dtype=dtype)
 
 
@@ -54,18 +56,21 @@ class BasicBlock(nn.Module):
     features: int
     stride: int = 1
     downsample: bool = False
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         dt = x.dtype
+        g = self.groups
         identity = x
-        out = _conv(self.features, 3, self.stride, "conv1", dt)(x)
+        out = _conv(self.features, 3, self.stride, "conv1", dt, g)(x)
         out = _bn("bn1", train, dt)(out)
         out = nn.relu(out)
-        out = _conv(self.features, 3, 1, "conv2", dt)(out)
+        out = _conv(self.features, 3, 1, "conv2", dt, g)(out)
         out = _bn("bn2", train, dt)(out)
         if self.downsample:
-            identity = _conv(self.features, 1, self.stride, "downsample_0", dt)(x)
+            identity = _conv(self.features, 1, self.stride, "downsample_0",
+                             dt, g)(x)
             identity = _bn("downsample_1", train, dt)(identity)
         return nn.relu(out + identity)
 
@@ -74,21 +79,24 @@ class Bottleneck(nn.Module):
     features: int  # bottleneck width; output channels = 4 * features
     stride: int = 1
     downsample: bool = False
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         dt = x.dtype
+        g = self.groups
         identity = x
-        out = _conv(self.features, 1, 1, "conv1", dt)(x)
+        out = _conv(self.features, 1, 1, "conv1", dt, g)(x)
         out = _bn("bn1", train, dt)(out)
         out = nn.relu(out)
-        out = _conv(self.features, 3, self.stride, "conv2", dt)(out)
+        out = _conv(self.features, 3, self.stride, "conv2", dt, g)(out)
         out = _bn("bn2", train, dt)(out)
         out = nn.relu(out)
-        out = _conv(self.features * 4, 1, 1, "conv3", dt)(out)
+        out = _conv(self.features * 4, 1, 1, "conv3", dt, g)(out)
         out = _bn("bn3", train, dt)(out)
         if self.downsample:
-            identity = _conv(self.features * 4, 1, self.stride, "downsample_0", dt)(x)
+            identity = _conv(self.features * 4, 1, self.stride,
+                             "downsample_0", dt, g)(x)
             identity = _bn("downsample_1", train, dt)(identity)
         return nn.relu(out + identity)
 
@@ -101,14 +109,16 @@ class ResNetEncoder(nn.Module):
     """
 
     model_name: str = "resnet18"
+    groups: int = 1  # >1 = several weight-independent nets fused group-wise
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
         kind, depths = RESNET_SPECS[self.model_name]
         block = BasicBlock if kind == "basic" else Bottleneck
+        g = self.groups
         dt = x.dtype
 
-        out = _conv(64, 7, 2, "conv1", dt)(x)
+        out = _conv(64 * g, 7, 2, "conv1", dt, g)(x)
         out = _bn("bn1", train, dt)(out)
         layer0 = nn.relu(out)
 
@@ -121,10 +131,10 @@ class ResNetEncoder(nn.Module):
             for bi in range(depth):
                 stride = 2 if (li > 1 and bi == 0) else 1
                 in_ch = out.shape[-1]
-                out_ch = width * (1 if kind == "basic" else 4)
+                out_ch = width * g * (1 if kind == "basic" else 4)
                 need_ds = (stride != 1) or (in_ch != out_ch)
-                out = block(width, stride=stride, downsample=need_ds,
-                            name=f"layer{li}_{bi}")(out, train=train)
+                out = block(width * g, stride=stride, downsample=need_ds,
+                            groups=g, name=f"layer{li}_{bi}")(out, train=train)
             feats.append(out)
 
         layer1, layer2, layer3, layer4 = feats
