@@ -43,15 +43,13 @@ def evaluate(cfg: Config, task, state, mode: str = "test",
     acc = MetricAccumulator()
 
     # shard eval batches over the data mesh when multiple devices are
-    # available (per-sample metrics gather back automatically)
-    shard = None
-    n_dev = len(jax.devices())
-    if n_dev > 1 and cfg.batch_size % n_dev == 0:
-        from egotap_tpu.parallel.mesh import (
-            make_mesh, replicate, shard_batch)
-        mesh = make_mesh()
-        state = replicate(state, mesh)
-        shard = lambda b: shard_batch(b, mesh)  # noqa: E731
+    # available (per-sample metrics gather back automatically); eval batches
+    # are always padded to batch_size, so only batch_size divisibility
+    # matters — data_parallel_setup reduces the device count (with a log
+    # line) rather than silently dropping to one device
+    from egotap_tpu.parallel.mesh import data_parallel_setup
+    mesh, state, shard_fn = data_parallel_setup(cfg, state)
+    shard = shard_fn if mesh is not None else None
 
     pred_poses, gt_poses, input_paths = [], [], []
     pending = []  # (device metrics, mask, device poses) — read back at end

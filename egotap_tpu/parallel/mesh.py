@@ -68,3 +68,37 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
 def replicate(tree: Any, mesh: Mesh) -> Any:
     sh = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+_REDUCTION_WARNED = set()
+
+
+def choose_num_data(batch_size: int, requested: int = 0) -> int:
+    """Number of data-mesh devices: `requested` (0 = all local devices),
+    clamped to the device count and reduced to the largest divisor of
+    `batch_size` so every device gets an equal batch slice (train batches
+    are drop_last-full, eval batches are padded to batch_size)."""
+    avail = len(jax.devices())
+    want = min(requested or avail, avail)
+    n_data = max(d for d in range(1, want + 1) if batch_size % d == 0)
+    if n_data != want and (want, n_data) not in _REDUCTION_WARNED:
+        _REDUCTION_WARNED.add((want, n_data))
+        print(f"data-parallel: batch_size {batch_size} not divisible by "
+              f"{want} devices; using {n_data}")
+    return n_data
+
+
+def data_parallel_setup(cfg, state):
+    """The single entry point for data parallelism, shared by CLI training
+    (train/loop.py), eval (eval/evaluate.py) and the driver's multi-chip
+    dryrun: builds the ('data','model') mesh, replicates the train state and
+    returns a batch-sharding function. Replaces the reference's dead
+    --distributed flag (options/base_options.py:81).
+
+    Returns (mesh | None, state, shard_fn); mesh is None when a single
+    device is used (shard_fn is then the identity)."""
+    n_data = choose_num_data(cfg.batch_size, cfg.data_parallel)
+    if n_data <= 1:
+        return None, state, (lambda b: b)
+    mesh = make_mesh(num_data=n_data)
+    return mesh, replicate(state, mesh), (lambda b: shard_batch(b, mesh))

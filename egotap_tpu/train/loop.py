@@ -105,6 +105,15 @@ def train_main(cfg: Config) -> bool:
         state = state_lib.load_checkpoint(
             cfg.experiment_dir, cfg.epoch_count - 1, state)
 
+    # data parallelism over the device mesh (cfg.data_parallel, 0 = all
+    # devices): parameters replicated, batches sharded over 'data'; XLA
+    # inserts the gradient all-reduce over ICI. Replaces the reference's
+    # dead --distributed flag (options/base_options.py:81).
+    from egotap_tpu.parallel.mesh import data_parallel_setup, replicate
+    mesh, state, shard = data_parallel_setup(cfg, state)
+    if mesh is not None:
+        print(f"data-parallel training over {mesh.shape['data']} devices")
+
     writer = MetricWriter(os.path.join(cfg.experiment_dir, "summary"),
                           clear=(cfg.epoch_count == 1))
 
@@ -174,7 +183,7 @@ def train_main(cfg: Config) -> bool:
             if cfg.profile_dir and epoch == cfg.epoch_count and i == 2:
                 jax.profiler.start_trace(cfg.profile_dir)
                 profiling = True
-            feed = pre({k: jnp.asarray(v) for k, v in batch.items()})
+            feed = shard(pre({k: jnp.asarray(v) for k, v in batch.items()}))
             with step_annotation("train", (epoch - 1) * iters_per_epoch + i):
                 state, losses = task.train_step(state, feed)
             if profiling and i >= 2 + cfg.profile_steps:
@@ -200,6 +209,8 @@ def train_main(cfg: Config) -> bool:
         if restart_epoch:
             state = state_lib.load_checkpoint(
                 cfg.experiment_dir, epoch - 1, state)
+            if mesh is not None:  # restored arrays land unreplicated
+                state = replicate(state, mesh)
             continue
 
         if epoch % cfg.val_epoch_freq == 0:

@@ -73,6 +73,34 @@ def test_data_parallel_train_step_matches_single_device(root):
                                    atol=2e-3 + 1e-6)
 
 
+def test_train_main_data_parallel_matches_single_device(root, tmp_path):
+    """CLI training over the 8-virtual-device mesh (cfg.data_parallel)
+    produces the same trained parameters as single-device training."""
+    from egotap_tpu.train import state as state_lib
+    from egotap_tpu.train.loop import train_main
+
+    def run(tag, n_dev):
+        cfg = synthetic_config(
+            root, model="heatmap_shared", num_heatmap=15, num_rot_heatmap=0,
+            heatmap_type="none", load_size_heatmap=(16, 16), batch_size=8,
+            niter=1, niter_decay=0, val_epoch_freq=10)
+        cfg.log_dir = str(tmp_path / tag)
+        cfg.experiment_name = "dp"
+        cfg.data_parallel = n_dev
+        assert train_main(cfg)
+        task_tmpl = create_task(cfg)
+        tmpl = task_tmpl.init_state(jax.random.PRNGKey(0), 1)
+        return state_lib.load_checkpoint(cfg.experiment_dir, 1, tmpl)
+
+    s1 = run("single", 1)
+    s8 = run("dp8", 8)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
+        # cross-replica f32 reduction reordering + sign-like Adam updates:
+        # worst case ~2*lr per step, two steps in the epoch
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3 + 1e-6)
+
+
 def test_lifter_eval_step_sharded(root):
     cfg = synthetic_config(
         root, model="egotap_autoencoder", num_heatmap=15, num_rot_heatmap=15,
