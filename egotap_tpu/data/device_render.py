@@ -171,7 +171,14 @@ def limb_theta(pts3d: jnp.ndarray, parents: Tuple[int, ...]) -> jnp.ndarray:
     (reference utils/data.py:227-230). pts3d: (..., J, 3) -> (..., J-1)."""
     parents = np.asarray(parents)
     limb = pts3d[..., parents[1:], :] - pts3d[..., 1:, :]
-    return jnp.arctan(limb[..., 2] / jnp.linalg.norm(limb[..., :2], axis=-1))
+    # Zero-length-limb guard matching the host twin (heatmaps.limb_data):
+    # dxy == 0 takes the analytic limit sign(dz)*pi/2 (0 if dz == 0) instead
+    # of the reference's unguarded NaN (utils/data.py:230).
+    dz = limb[..., 2]
+    dxy = jnp.linalg.norm(limb[..., :2], axis=-1)
+    degenerate = dxy == 0
+    theta = jnp.arctan(dz / jnp.where(degenerate, 1.0, dxy))
+    return jnp.where(degenerate, jnp.sign(dz) * (jnp.pi / 2), theta)
 
 
 def sin_limb_heatmaps(raw_limb: jnp.ndarray, theta: jnp.ndarray

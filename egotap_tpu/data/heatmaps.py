@@ -140,7 +140,17 @@ def limb_data(pts2d: np.ndarray, pts3d: np.ndarray, parents: np.ndarray,
         coord = pts2d[joint] / divider
 
         limb_3d = pts3d[parent] - pts3d[joint]
-        theta[b] = np.arctan(limb_3d[2] / np.linalg.norm(limb_3d[:2]))
+        # The reference divides unguarded (utils/data.py:230): a vertical
+        # limb gives arctan(+-inf) = +-pi/2 (kept), but a fully zero-length
+        # limb gives 0/0 = NaN which would poison sin/cos training targets.
+        # Deliberate divergence: degenerate limbs use the analytic limit
+        # (sign(dz)*pi/2, i.e. 0 when dz == 0 too).
+        dxy = np.linalg.norm(limb_3d[:2])
+        if dxy == 0.0:
+            theta[b] = math.copysign(math.pi / 2, limb_3d[2]) \
+                if limb_3d[2] != 0.0 else 0.0
+        else:
+            theta[b] = np.arctan(limb_3d[2] / dxy)
         lengths[b] = np.linalg.norm(p_coord - coord) + 1.0
 
         img = line_heatmap(p_coord, coord, res)

@@ -126,6 +126,25 @@ class TestLimbData:
         hm, _ = D.render_limb_heatmaps(pts2d, sk.parents)
         assert np.all(np.asarray(hm) == 0.0)
 
+    def test_degenerate_limbs_finite(self, rng):
+        """Zero-length 3D limbs get the analytic theta limit, not the
+        reference's NaN (utils/data.py:230): sign(dz)*pi/2 when only the
+        xy part vanishes, 0 when the limb is fully degenerate."""
+        import warnings
+        sk, pts2d, pts3d = self._pose(rng)
+        parents = sk.parents_array()
+        pts3d[1] = pts3d[parents[1]]                       # fully degenerate
+        pts3d[2, :2] = pts3d[parents[2], :2]               # vertical, dz > 0
+        pts3d[2, 2] = pts3d[parents[2], 2] - 5.0
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            _, _, theta = H.limb_data(pts2d, pts3d, parents)
+        got_theta = np.asarray(D.limb_theta(pts3d, sk.parents))
+        assert np.isfinite(theta).all() and np.isfinite(got_theta).all()
+        assert theta[0] == 0.0
+        np.testing.assert_allclose(theta[1], np.pi / 2, rtol=1e-6)
+        np.testing.assert_allclose(got_theta[:2], theta[:2], rtol=1e-6)
+
     def test_device_batched(self, rng):
         sk = get_skeleton("EgoCap")
         pts2d = rng.uniform(0, 1024, size=(2, 18, 2))
