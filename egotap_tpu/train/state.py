@@ -71,3 +71,57 @@ def load_checkpoint(experiment_dir: str, tag,
 
 def checkpoint_exists(experiment_dir: str, tag) -> bool:
     return os.path.isdir(_ckpt_dir(experiment_dir, tag))
+
+
+def merge_partial_weights(target, source, parts) -> tuple:
+    """Update leaves of ``target`` whose tree path contains any substring in
+    ``parts`` with the same-path, same-shape leaf from ``source``.
+
+    The JAX equivalent of the reference's cross-experiment transfer
+    ``load_partial_weights`` (model/base_model.py:150-162): substring key
+    filter + non-strict load — keys missing from the source or with
+    mismatched shapes are silently kept from the target, matching
+    ``load_state_dict(..., strict=False)``.
+
+    Returns (merged_tree, loaded_paths).
+    """
+    flat_src = {
+        "/".join(str(getattr(k, "key", getattr(k, "name", k))) for k in path): leaf
+        for path, leaf in jax.tree_util.tree_flatten_with_path(source)[0]}
+    loaded = []
+
+    def pick(path, leaf):
+        key = "/".join(str(getattr(k, "key", getattr(k, "name", k)))
+                       for k in path)
+        if any(part in key for part in parts):
+            src = flat_src.get(key)
+            if src is not None and np.shape(src) == np.shape(leaf):
+                loaded.append(key)
+                return jnp.asarray(src)
+        return leaf
+
+    merged = jax.tree_util.tree_map_with_path(pick, target)
+    return merged, loaded
+
+
+def load_partial_weights(target, checkpoint_path: str, parts,
+                         convert: Optional[str] = None):
+    """Load a checkpoint (orbax dir or converted ``.pth``) and merge the
+    leaves matching ``parts`` substrings into ``target`` (a variables tree).
+
+    convert: for ``.pth`` files, which converter to run first —
+    "heatmap_net" / "lifter" / a resnet model name; orbax checkpoints are
+    used as-is. Returns (merged_tree, loaded_paths)."""
+    if os.path.isdir(checkpoint_path):
+        with ocp.PyTreeCheckpointer() as ckptr:
+            source = ckptr.restore(os.path.abspath(checkpoint_path))
+    else:
+        from egotap_tpu.compat.convert import (convert_heatmap_net,
+                                               convert_lifter)
+        from egotap_tpu.compat.torch_loader import load_torch_checkpoint
+        state_dict = load_torch_checkpoint(checkpoint_path)
+        if convert == "lifter":
+            source = convert_lifter(state_dict)
+        else:
+            source = convert_heatmap_net(state_dict, convert or "resnet18")
+    return merge_partial_weights(target, source, parts)
