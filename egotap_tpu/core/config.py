@@ -55,12 +55,13 @@ class Config:
     epoch_count: int = 1
     niter: int = 0
     niter_decay: int = 0
-    optimizer_type: str = "Adam"           # Adam | AdamW | SGD
+    optimizer_type: str = "Adam"           # Adam | AdamW | SGD | DAdam | Prodigy
     lr_policy: str = "lambda"              # lambda | step | exponent | cos_anneal | cos_anneal_warmup
     lr_decay_iters_step: int = 4
     lr: float = 1e-3
     weight_decay: float = 0.0
     opt_eps: float = 1e-4
+    d_coef: float = 1.0                    # Prodigy d estimate coefficient
     lambda_mpjpe: float = 1.0
     lambda_heatmap: float = 1.0
     lambda_rot_heatmap: float = 1.0

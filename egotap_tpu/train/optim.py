@@ -4,6 +4,9 @@ Reference: model/network.py:35-118.
   * Adam with L2-style weight decay folded into the gradient (torch Adam
     semantics) and the reference's eps=1e-4 default.
   * AdamW decoupled weight decay.
+  * Learned-LR optimizers DAdam (D-Adaptation, decoupled variant) and
+    Prodigy via optax.contrib (reference model/network.py:79-116 uses the
+    dadaptation / prodigyopt packages with lr=1.0 under the schedule).
   * Schedules: 'lambda' linear decay stepped per epoch, 'step', 'exponent',
     'cos_anneal' per-iteration, and 'cos_anneal_warmup' (HF
     get_cosine_schedule_with_warmup: linear warmup over niter epochs of
@@ -14,6 +17,7 @@ from __future__ import annotations
 
 from typing import Callable
 
+import jax
 import jax.numpy as jnp
 import optax
 
@@ -79,4 +83,41 @@ def make_optimizer(cfg: Config, iters_per_epoch: int) -> optax.GradientTransform
             chain.append(optax.add_decayed_weights(cfg.weight_decay))
         chain.append(optax.sgd(sched))
         return optax.chain(*chain)
+    # Learned-LR optimizers (reference model/network.py:79-116: DAdaptAdam /
+    # Prodigy with base lr 1.0 times the schedule; growth_rate defaults to
+    # inf there, i.e. uncapped, which matches optax.contrib's behavior).
+    if cfg.optimizer_type == "DAdam":
+        # the reference's recommended configuration passes --decouple
+        # (AdamW-style decay), which is the variant optax.contrib ships
+        from optax.contrib import dadapt_adamw
+        return _with_extra_args(dadapt_adamw(
+            learning_rate=_relative(sched, cfg.lr), eps=cfg.opt_eps,
+            weight_decay=cfg.weight_decay))
+    if cfg.optimizer_type == "Prodigy":
+        from optax.contrib import prodigy
+        return _with_extra_args(prodigy(
+            learning_rate=_relative(sched, cfg.lr), eps=cfg.opt_eps,
+            estim_lr_coef=cfg.d_coef, weight_decay=cfg.weight_decay,
+            safeguard_warmup=True))  # network.py:116
     raise NotImplementedError(f"optimizer {cfg.optimizer_type}")
+
+
+def _relative(sched: Callable, base: float) -> Callable:
+    """D-Adaptation runs at lr=1.0 scaled by the schedule shape: the torch
+    scheduler multiplies the optimizer's lr=1.0 by schedule(step)/base."""
+    return lambda step: sched(step) / base
+
+
+def _with_extra_args(tx) -> optax.GradientTransformation:
+    """Adapt a GradientTransformationExtraArgs to the plain 3-arg update
+    protocol task train_steps use."""
+    def init(params):
+        # contrib learned-LR optimizers keep the initial params in their
+        # state (p0); copy so the opt_state never aliases param buffers —
+        # train_step donates the whole state and XLA rejects donating the
+        # same buffer twice
+        return tx.init(jax.tree.map(jnp.array, params))
+
+    def update(grads, state, params=None):
+        return tx.update(grads, state, params)
+    return optax.GradientTransformation(init, update)

@@ -100,3 +100,45 @@ class TestSchedules:
         cfg2 = Config(lr=1.0, lr_policy="exponent")
         s2 = make_schedule(cfg2, 1)
         assert float(s2(3)) == pytest.approx(0.95 ** 3)
+
+
+class TestLearnedLROptimizers:
+    """DAdam / Prodigy (reference model/network.py:79-116) via optax.contrib."""
+
+    @pytest.mark.parametrize("opt_type", ["DAdam", "Prodigy"])
+    def test_converges_on_quadratic(self, opt_type):
+        import jax.numpy as jnp
+        import optax
+        from egotap_tpu.train.optim import make_optimizer
+        cfg = Config(optimizer_type=opt_type, lr=1.0, lr_policy="cos_anneal",
+                     niter=1, niter_decay=0).derive()
+        tx = make_optimizer(cfg, iters_per_epoch=200)
+        params = {"w": jnp.full((4,), 5.0)}
+        state = tx.init(params)
+        for _ in range(150):
+            grads = {"w": params["w"]}   # f = 0.5 ||w||^2
+            updates, state = tx.update(grads, state, params)
+            params = optax.apply_updates(params, updates)
+        # the learned step size must have adapted enough to make progress
+        # from d0=1e-6 despite lr being left at its 1.0 default
+        assert float(jnp.linalg.norm(params["w"])) < 5.0 * 0.5
+
+    def test_plugs_into_train_step(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+        from egotap_tpu.data.synthetic import synthetic_config
+        from egotap_tpu.train.tasks import HeatmapTask
+        cfg = synthetic_config(
+            str(tmp_path / "d"), "UnrealEgo", model="heatmap_shared",
+            num_heatmap=15, num_rot_heatmap=0, heatmap_type="none",
+            optimizer_type="Prodigy", lr=1.0, lr_policy="cos_anneal",
+            batch_size=2, niter=1, niter_decay=1, load_size_heatmap=(8, 8))
+        task = HeatmapTask(cfg)
+        state = task.init_state(jax.random.PRNGKey(0), iters_per_epoch=1)
+        batch = {
+            "input_rgb": jnp.zeros((2, 2, 32, 32, 3)),
+            "gt_heatmap_left": jnp.zeros((2, 8, 8, 15)),
+            "gt_heatmap_right": jnp.zeros((2, 8, 8, 15)),
+        }
+        state, losses = task.train_step(state, batch)
+        assert all(np.isfinite(float(v)) for v in losses.values())
