@@ -96,8 +96,11 @@ def make_device_preprocess(cfg: Config):
     return preprocess
 
 
-def _stack_batch(frames, batch_size: int) -> Dict[str, np.ndarray]:
-    """Stack frame dicts; pad to batch_size with a validity mask."""
+def _stack_batch(frames, batch_size: int,
+                 n_valid: Optional[int] = None) -> Dict[str, np.ndarray]:
+    """Stack frame dicts; pad to batch_size with a validity mask.
+    n_valid overrides the valid-row count (0 = an all-padding lockstep
+    batch from a dry multi-host shard)."""
     n = len(frames)
     batch: Dict[str, np.ndarray] = {}
     for k in frames[0]:
@@ -108,8 +111,10 @@ def _stack_batch(frames, batch_size: int) -> Dict[str, np.ndarray]:
             pad = np.repeat(arr[-1:], batch_size - n, axis=0)
             arr = np.concatenate([arr, pad], axis=0)
         batch[k] = arr
-    batch["mask"] = (np.arange(batch_size) < n).astype(np.float32)
-    batch["paths"] = [f["path"] for f in frames]  # type: ignore[assignment]
+    if n_valid is None:
+        n_valid = n
+    batch["mask"] = (np.arange(batch_size) < n_valid).astype(np.float32)
+    batch["paths"] = [f["path"] for f in frames[:n_valid]]  # type: ignore[assignment]
     return batch
 
 
@@ -123,34 +128,51 @@ class BatchLoader:
 
     def __init__(self, dataset: FrameDataset, batch_size: int,
                  shuffle: bool, drop_last: bool,
-                 num_threads: int = 2, seed: int = 0):
+                 num_threads: int = 2, seed: int = 0,
+                 indices: Optional[np.ndarray] = None,
+                 num_batches: Optional[int] = None):
         self.ds = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.num_threads = max(1, num_threads)
         self.rng = np.random.default_rng(seed)
+        self.indices = (np.arange(len(dataset)) if indices is None
+                        else np.asarray(indices))
+        # multi-host: every host must run the SAME number of batches or
+        # collectives deadlock; the host-sharded make_loader passes the
+        # common count computed from the global dataset size
+        self._num_batches = num_batches
 
     def __len__(self) -> int:
-        n = len(self.ds)
+        if self._num_batches is not None:
+            return self._num_batches
+        n = len(self.indices)
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
     def _index_batches(self):
-        idx = np.arange(len(self.ds))
+        idx = self.indices.copy()
         if self.shuffle:
             self.rng.shuffle(idx)
         nb = len(self)
         for i in range(nb):
-            yield idx[i * self.batch_size:(i + 1) * self.batch_size]
+            sel = idx[i * self.batch_size:(i + 1) * self.batch_size]
+            n_valid = len(sel)
+            if n_valid == 0:
+                # a host whose shard ran dry emits fully-padded batches
+                # (mask 0 everywhere) to stay in lockstep with its peers
+                sel = idx[-1:] if len(idx) else np.zeros(1, np.int64)
+            yield sel, n_valid
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         from concurrent.futures import ThreadPoolExecutor
 
-        def load(indices):
+        def load(args):
+            indices, n_valid = args
             return _stack_batch([self.ds[i] for i in indices],
-                                self.batch_size)
+                                self.batch_size, n_valid=n_valid)
 
         with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
             futures = []
@@ -175,7 +197,7 @@ class PackedBatchLoader:
 
     def __init__(self, reader, batch_size: int, shuffle: bool,
                  drop_last: bool, indices: Optional[np.ndarray] = None,
-                 seed: int = 0):
+                 seed: int = 0, num_batches: Optional[int] = None):
         self.reader = reader
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -183,8 +205,11 @@ class PackedBatchLoader:
         self.indices = (np.arange(reader.num_records)
                         if indices is None else np.asarray(indices))
         self.rng = np.random.default_rng(seed)
+        self._num_batches = num_batches  # multi-host lockstep override
 
     def __len__(self) -> int:
+        if self._num_batches is not None:
+            return self._num_batches
         n = len(self.indices)
         return n // self.batch_size if self.drop_last else \
             (n + self.batch_size - 1) // self.batch_size
@@ -197,9 +222,11 @@ class PackedBatchLoader:
         for b in range(len(self)):
             sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
             n = len(sel)
-            if n < self.batch_size:  # pad with the last frame + mask
+            if n == 0:  # dry multi-host shard: all-padding lockstep batch
+                sel = idx[-1:] if len(idx) else np.zeros(1, np.int64)
+            if len(sel) < self.batch_size:  # pad with the last frame + mask
                 sel = np.concatenate(
-                    [sel, np.repeat(sel[-1:], self.batch_size - n)])
+                    [sel, np.repeat(sel[-1:], self.batch_size - len(sel))])
             batch = self.reader.gather(sel)
             batch["mask"] = (np.arange(self.batch_size) < n).astype(np.float32)
             batch["paths"] = ([paths[i] for i in sel[:n]] if paths
@@ -209,7 +236,12 @@ class PackedBatchLoader:
 
 def make_loader(cfg: Config, mode: str, category_id: Optional[str] = None):
     """Prefer the packed native-record path when the split has been packed
-    (tools/pack_dataset.py); fall back to per-frame npy loading."""
+    (tools/pack_dataset.py); fall back to per-frame npy loading. Under a
+    multi-host runtime (jax.process_count() > 1) every host loads only its
+    own shard (make_host_sharded_loader)."""
+    import jax
+    if jax.process_count() > 1:
+        return make_host_sharded_loader(cfg, mode, category_id)
     train = mode == "train"
     try:
         from egotap_tpu.native import recordio
@@ -233,3 +265,40 @@ def make_loader(cfg: Config, mode: str, category_id: Optional[str] = None):
     ds = FrameDataset(cfg, mode, category_id)
     return BatchLoader(ds, cfg.batch_size, shuffle=train, drop_last=train,
                        num_threads=cfg.num_threads, seed=cfg.seed)
+
+
+def make_host_sharded_loader(cfg: Config, mode: str,
+                             category_id: Optional[str] = None,
+                             host_index: Optional[int] = None,
+                             host_count: Optional[int] = None):
+    """Per-host sharded loader for multi-host data parallelism (the
+    tf.data/grain-style replacement for DataLoader worker processes,
+    SURVEY §5.8): host h loads dataset indices h::host_count with a local
+    batch of cfg.batch_size // host_count, and every host runs the SAME
+    number of batches (dry shards emit all-padding mask-0 batches) so
+    collectives never deadlock. Assemble the per-host batches into global
+    sharded arrays with `parallel.mesh.make_global_batch`."""
+    import jax
+    host_index = jax.process_index() if host_index is None else host_index
+    host_count = jax.process_count() if host_count is None else host_count
+    if host_count == 1:
+        return make_loader(cfg, mode, category_id)
+    assert cfg.batch_size % host_count == 0, \
+        (cfg.batch_size, host_count, "global batch must divide across hosts")
+    local_bs = cfg.batch_size // host_count
+
+    train = mode == "train"
+    ds = FrameDataset(cfg, mode, category_id)
+    n = len(ds)
+    indices = np.arange(n)[host_index::host_count]
+    if train:
+        # drop_last over the smallest shard so all hosts see full batches
+        num_batches = (n // host_count) // local_bs
+    else:
+        # cover the largest shard; smaller shards pad (mask handles it)
+        largest = (n + host_count - 1) // host_count
+        num_batches = (largest + local_bs - 1) // local_bs
+    return BatchLoader(ds, local_bs, shuffle=train, drop_last=train,
+                       num_threads=cfg.num_threads,
+                       seed=cfg.seed + host_index,
+                       indices=indices, num_batches=num_batches)

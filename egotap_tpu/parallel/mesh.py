@@ -65,6 +65,18 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
+def make_global_batch(local_batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Assemble per-host local batches into GLOBAL arrays sharded over
+    'data' (jax.make_array_from_process_local_data): each host contributes
+    its rows from `data.pipeline.make_host_sharded_loader`; the global
+    leading dim is local_rows * process_count. Single-process this equals
+    shard_batch."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        local_batch)
+
+
 def replicate(tree: Any, mesh: Mesh) -> Any:
     sh = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
@@ -101,4 +113,9 @@ def data_parallel_setup(cfg, state):
     if n_data <= 1:
         return None, state, (lambda b: b)
     mesh = make_mesh(num_data=n_data)
+    if jax.process_count() > 1:
+        # multi-host: each host contributes its local rows (from
+        # data.pipeline.make_host_sharded_loader) to a global array
+        return (mesh, replicate(state, mesh),
+                lambda b: make_global_batch(b, mesh))
     return mesh, replicate(state, mesh), (lambda b: shard_batch(b, mesh))
