@@ -63,21 +63,17 @@ class ViTBlock(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         d = self.hidden_size
         h = self.num_heads
-        dh = d // h
 
         y = nn.LayerNorm(epsilon=LN_EPS, name="ln_before", dtype=x.dtype)(x)
         q = nn.Dense(d, name="query", dtype=x.dtype)(y)
         k = nn.Dense(d, name="key", dtype=x.dtype)(y)
         v = nn.Dense(d, name="value", dtype=x.dtype)(y)
 
-        b, s, _ = y.shape
-        q = q.reshape(b, s, h, dh).transpose(0, 2, 1, 3)
-        k = k.reshape(b, s, h, dh).transpose(0, 2, 1, 3)
-        v = v.reshape(b, s, h, dh).transpose(0, 2, 1, 3)
-
-        from egotap_tpu.ops.attention import multihead_attention
-        ctx = multihead_attention(q, k, v)
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, d)
+        # q/k/v stay in projection layout (B, S, H*Dh): the packed kernel
+        # slices heads internally, so no (B,H,S,D) transposes are needed
+        # on either side (4 full-tensor HBM round-trips per layer saved)
+        from egotap_tpu.ops.attention import multihead_attention_packed
+        ctx = multihead_attention_packed(q, k, v, heads=h)
         x = x + nn.Dense(d, name="attn_out", dtype=x.dtype)(ctx)
 
         y = nn.LayerNorm(epsilon=LN_EPS, name="ln_after", dtype=x.dtype)(x)
@@ -115,21 +111,31 @@ class GridViT(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        b, n, c, hs, _ = x.shape
-        assert n == self.num_tiles and c == self.channels
         P = self.patches_per_side
         T = self.tiles_per_side
         ps = self.patch_size
         D = self.hidden_size
-        n_dummy_tiles = T * T - n
+        c = self.channels
+        n_dummy_tiles = T * T - self.num_tiles
         tokens_per_tile = P * P
         total_tokens = T * T * tokens_per_tile
 
-        # patchify: (B, N, C, H, H) -> (B, N, P*P, C*ps*ps), pixel order
-        # (c, ph, pw) to match the conv-as-dense checkpoint transform
-        patches = x.reshape(b, n, c, P, ps, P, ps)
-        patches = patches.transpose(0, 1, 3, 5, 2, 4, 6)
-        patches = patches.reshape(b, n, tokens_per_tile, c * ps * ps)
+        if x.ndim == 4:
+            # pre-patchified input (B, N, P*P, C*ps*ps) — the caller fused
+            # the patch extraction into its own layout transform (one
+            # transpose from NHWC instead of an NCHW round-trip)
+            b, n = x.shape[0], x.shape[1]
+            assert n == self.num_tiles
+            assert x.shape[2] == tokens_per_tile and x.shape[3] == c * ps * ps
+            patches = x
+        else:
+            b, n = x.shape[0], x.shape[1]
+            assert n == self.num_tiles and x.shape[2] == c
+            # patchify: (B, N, C, H, H) -> (B, N, P*P, C*ps*ps), pixel order
+            # (c, ph, pw) to match the conv-as-dense checkpoint transform
+            patches = x.reshape(b, n, c, P, ps, P, ps)
+            patches = patches.transpose(0, 1, 3, 5, 2, 4, 6)
+            patches = patches.reshape(b, n, tokens_per_tile, c * ps * ps)
 
         proj = nn.Dense(D, name="patch_proj", dtype=x.dtype)
         real_tokens = proj(patches).reshape(b, n * tokens_per_tile, D)

@@ -45,6 +45,29 @@ def check_attention():
     print(f"attention grad pallas-vs-jnp max diff: {gdiff:.2e}")
     assert gdiff < 1e-2, gdiff
 
+    # packed (transpose-free) layout, the Grid-ViT's production path
+    from egotap_tpu.ops.attention import multihead_attention_packed
+    B, H, S, D = q.shape
+    qs, ks, vs = (x.transpose(0, 2, 1, 3).reshape(B, S, H * D)
+                  for x in (q, kk, v))
+    a2 = jax.jit(lambda q, k, v: multihead_attention_packed(q, k, v, H, True)
+                 )(qs, ks, vs)
+    b2 = jax.jit(lambda q, k, v: multihead_attention_packed(q, k, v, H, False)
+                 )(qs, ks, vs)
+    d2 = float(jnp.max(jnp.abs(a2 - b2)))
+    d3 = float(jnp.max(jnp.abs(
+        a2.reshape(B, S, H, D).transpose(0, 2, 1, 3) - a)))
+    print(f"packed attention pallas-vs-jnp {d2:.2e}, vs-bhsd {d3:.2e}")
+    assert d2 < 1e-3 and d3 < 1e-3, (d2, d3)
+
+    g2 = jax.jit(jax.grad(lambda q, k, v: jnp.sum(
+        multihead_attention_packed(q, k, v, H, True) ** 2)))(qs, ks, vs)
+    g2d = jax.jit(jax.grad(lambda q, k, v: jnp.sum(
+        multihead_attention_packed(q, k, v, H, False) ** 2)))(qs, ks, vs)
+    gd2 = float(jnp.max(jnp.abs(g2 - g2d)))
+    print(f"packed attention grad pallas-vs-jnp max diff: {gd2:.2e}")
+    assert gd2 < 1e-2, gd2
+
 
 def check_pu_kernel():
     from egotap_tpu.models.cells import PUChain
