@@ -17,7 +17,8 @@ from egotap_tpu.models.vit import GridViT
 
 
 class GridViTEncoder(nn.Module):
-    """(B, N, C, H, H) heatmaps -> (B, N * hidden) joint embeddings."""
+    """(B, N, C, H, H) heatmaps — or pre-patchified (B, N, P*P, C*ps*ps)
+    tokens — -> (B, N * hidden) joint embeddings."""
 
     num_tiles: int
     hidden_size: int = 128
@@ -106,7 +107,8 @@ class LimbFCEncoder(nn.Module):
 
     M = views * num_rot_heatmap rows, each a flattened (C*H*W) vector with
     channel-major pixel order (the reference's reshape semantics,
-    net_architecture.py:263-274).
+    net_architecture.py:263-274). Accepts (B, M, C, H, W) or already
+    row-flattened (B, M, C*H*W).
     """
 
     hidden_size: int = 128

@@ -38,8 +38,14 @@ from egotap_tpu.models.skel_variants import LSTMTreeWalk, skel_output_size
 class EgoTAPLifter(nn.Module):
     """Heatmap stack -> (B, num_joints, 3) pose."""
 
-    num_heatmap: int              # J: pos (== rot) heatmaps per view
+    num_heatmap: int              # J: pos heatmaps per view
     num_joints: int               # output joints (J [+1 head if estimated])
+    # Jr: limb (rot) heatmaps per view; None = num_heatmap. The reference
+    # asserts equality (net_architecture.py:598); here unequal counts are
+    # supported by tail-aligning the limb bridges to the walked joints
+    # (both tails come from the same preset ordering,
+    # dataloader/data_loader.py:149-164) — identical math when equal.
+    num_rot_heatmap: Optional[int] = None
     views: int = 2                # input_channel_scale
     limb_dim: int = 2             # sin heatmap type
     hidden_size: int = 128        # ae_hidden_size
@@ -56,30 +62,48 @@ class EgoTAPLifter(nn.Module):
         NCHW channel dim)."""
         B = heatmaps.shape[0]
         J, V, Ld = self.num_heatmap, self.views, self.limb_dim
+        Jr = self.num_rot_heatmap if self.num_rot_heatmap is not None else J
         hid = self.hidden_size
         body_hidden = hid * V          # per-joint view-concat width
         res = heatmaps.shape[1]
 
-        x = heatmaps.transpose(0, 3, 1, 2)      # (B, C, H, W)
-
         # --- split pos / rot channel groups (net_architecture.py:688-694)
-        pos_input = x[:, : J * V][:, :, None]   # (B, V*J, 1, H, W)
-        rot = x[:, J * V:].reshape(B, V, Ld, J, res, res)
-        rot = rot.swapaxes(1, 2).reshape(B, Ld, V * J, res, res)
-        rot_input = rot.swapaxes(1, 2)          # (B, V*J, Ld, H, W)
+        # directly from the NHWC heatmap stack: each group needs exactly ONE
+        # transpose into its encoder layout (the reference's NCHW slicing +
+        # reshapes would cost several HBM round-trips of the full stack)
+        ps = 16                                  # GridViT patch size
+        P = res // ps
+        pos = heatmaps[..., : J * V]             # (B, H, W, V*J)
+        pos = pos.reshape(B, P, ps, P, ps, J * V)
+        pos_patches = pos.transpose(0, 5, 1, 3, 2, 4)   # (B, N, P, P, ps, ps)
+        pos_patches = pos_patches.reshape(B, J * V, P * P, ps * ps)
+
+        rot = heatmaps[..., J * V:]              # (B, H, W, V*Ld*Jr)
+        rot = rot.reshape(B, res * res, V, Ld, Jr)
+        rot = rot.transpose(0, 2, 4, 3, 1)       # (B, V, Jr, Ld, H*W)
+        rot_rows = rot.reshape(B, V * Jr, Ld * res * res)
 
         pos_embed = GridViTEncoder(
             num_tiles=J * V, hidden_size=hid, channels=1,
             vit_layers=self.vit_layers, heatmap_size=res,
-            name="pos_encoder")(pos_input, train=train)   # (B, V*J*hid)
+            name="pos_encoder")(pos_patches, train=train)  # (B, V*J*hid)
         rot_embed = LimbFCEncoder(hidden_size=hid, name="rot_encoder")(
-            rot_input, train=train)              # (B, V*J*hid)
+            rot_rows, train=train)               # (B, V*Jr*hid)
 
         # --- regroup view-major -> per-joint [view0, view1] blocks
         pos_pj = pos_embed.reshape(B, V, J, hid).swapaxes(1, 2)
         pos_pj = pos_pj.reshape(B, J, body_hidden)
-        rot_pj = rot_embed.reshape(B, V, J, hid).swapaxes(1, 2)
-        rot_pj = rot_pj.reshape(B, J, body_hidden)
+        rot_pj = rot_embed.reshape(B, V, Jr, hid).swapaxes(1, 2)
+        rot_pj = rot_pj.reshape(B, Jr, body_hidden)
+        if Jr != J:
+            # tail-align limb bridges to the walked joints: zero bridge for
+            # the leading joints without a limb map, drop surplus limbs
+            if Jr < J:
+                rot_pj = jnp.concatenate(
+                    [jnp.zeros((B, J - Jr, body_hidden), rot_pj.dtype),
+                     rot_pj], axis=1)
+            else:
+                rot_pj = rot_pj[:, Jr - J:]
 
         # --- propagation over the joint sequence
         feature_size = skel_output_size(self.skel_layer, body_hidden)

@@ -200,7 +200,6 @@ class LifterTask:
         self.sk = sk
         self.nh, self.nr, self.ld = cfg.num_heatmap, cfg.num_rot_heatmap, cfg.limb_dim
         self.views = cfg.views
-        assert self.nh == self.nr, "shipped configs use equal pos/rot counts"
 
         self.pos_net = HeatmapUNet(num_output_maps=self.nh,
                                    model_name=cfg.model_name, views=self.views)
@@ -208,6 +207,7 @@ class LifterTask:
                                    model_name=cfg.model_name, views=self.views)
         self.lifter = EgoTAPLifter(
             num_heatmap=self.nh, num_joints=cfg.num_joints_out,
+            num_rot_heatmap=self.nr,
             views=self.views, limb_dim=self.ld,
             hidden_size=cfg.ae_hidden_size,
             skel_layer=cfg.skel_layer,
@@ -267,7 +267,9 @@ class LifterTask:
                                    "batch_stats": upd["batch_stats"]}
             else:
                 out = net.apply(fv, rgb, train=False)
-            outs.append(out.astype(jnp.float32))
+            outs.append(out)  # compute dtype (bf16 under amp) end-to-end:
+            # a f32 round-trip of the 90-channel stack costs two full HBM
+            # passes and the lifter consumes the compute dtype anyway
         return jnp.concatenate(outs, axis=-1), new_frozen
 
     def _pose_losses(self, pose, batch) -> Dict[str, jnp.ndarray]:
@@ -306,12 +308,15 @@ class LifterTask:
     @functools.partial(jax.jit, static_argnums=0)
     def eval_step(self, state: TrainState, batch) -> Dict[str, Any]:
         hm_cat, _ = self._forward_heatmaps(state.frozen, batch, train=False)
+        # the lifter follows the configured compute dtype at eval exactly
+        # like train (the test CLI forces use_amp=False for f32 reference
+        # parity, test_options.py:15; the serving/bench path runs bf16)
         pose = self.lifter.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
-            hm_cat, train=False).astype(jnp.float32)
+            hm_cat.astype(_dtype(self.cfg)), train=False).astype(jnp.float32)
         metrics = pose_metrics(pose, batch["gt_local_pose"])
         return {"metrics": metrics, "pred_pose": pose,
-                "gt_pose": batch["gt_local_pose"], "pred_heatmap": hm_cat}
+                "gt_pose": batch["gt_local_pose"]}
 
 
 def create_task(cfg: Config):

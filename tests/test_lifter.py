@@ -63,3 +63,57 @@ class TestLifterParity:
         variables = model.init(jax.random.PRNGKey(0), x)
         out = model.apply(variables, x)
         assert out.shape == (1, 16, 3)
+
+
+class TestUnequalHeatmapCounts:
+    """nh != nr: limb bridges tail-align to the walked joints (the
+    reference lifter asserts equality, net_architecture.py:598; the
+    dataloader supports unequal counts, data_loader.py:149-164)."""
+
+    @pytest.mark.parametrize("nr", [10, 15])
+    def test_forward_unequal(self, nr):
+        nh, ld, views = 15, 2, 2
+        model = EgoTAPLifter(num_heatmap=nh, num_rot_heatmap=nr,
+                             num_joints=16)
+        chans = (nh + nr * ld) * views
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, chans))
+        variables = model.init(jax.random.PRNGKey(0), x)
+        out = jax.jit(model.apply)(variables, x)
+        assert out.shape == (2, 16, 3)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_equal_count_unchanged(self):
+        """num_rot_heatmap=J must be the identical computation as the
+        default (None)."""
+        nh = 5
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, nh * 2 * 3))
+        base = EgoTAPLifter(num_heatmap=nh, num_joints=6, vit_layers=1)
+        explicit = EgoTAPLifter(num_heatmap=nh, num_rot_heatmap=nh,
+                                num_joints=6, vit_layers=1)
+        variables = base.init(jax.random.PRNGKey(0), x)
+        np.testing.assert_array_equal(
+            np.asarray(base.apply(variables, x)),
+            np.asarray(explicit.apply(variables, x)))
+
+    def test_task_unequal_counts(self, tmp_path):
+        """LifterTask end-to-end (gt-heatmap path) with nh != nr."""
+        from egotap_tpu.data.synthetic import synthetic_config
+        from egotap_tpu.train.tasks import LifterTask
+        cfg = synthetic_config(
+            str(tmp_path / "d"), "UnrealEgo", model="egotap_autoencoder",
+            num_heatmap=15, num_rot_heatmap=10, heatmap_type="sin",
+            skel_layer="PU", ae_hidden_size=32, patched_heatmap_ae=True,
+            load_size_heatmap=(64, 64), batch_size=2, use_gt_heatmap=True,
+            niter=1, niter_decay=1)
+        task = LifterTask(cfg)
+        state = task.init_state(jax.random.PRNGKey(0), iters_per_epoch=1)
+        batch = {
+            "gt_heatmap_left": jnp.zeros((2, 64, 64, 15)),
+            "gt_heatmap_right": jnp.zeros((2, 64, 64, 15)),
+            "gt_limb_heatmap_left": jnp.zeros((2, 64, 64, 20)),
+            "gt_limb_heatmap_right": jnp.zeros((2, 64, 64, 20)),
+            "gt_local_pose": jnp.zeros((2, 16, 3)),
+        }
+        out = task.eval_step(state, batch)
+        assert out["pred_pose"].shape == (2, 16, 3)
+        assert np.isfinite(np.asarray(out["pred_pose"])).all()
