@@ -101,6 +101,57 @@ class Bottleneck(nn.Module):
         return nn.relu(out + identity)
 
 
+class S2DStemConv(nn.Module):
+    """The ResNet stem (7x7 stride-2 conv on 3 channels) computed via
+    space-to-depth: x rearranged to (H/2, W/2, 4*C) and the SAME stored
+    (7,7,C,F) kernel re-indexed into an equivalent (4,4,4*C,F) kernel.
+
+    Identical math (every product pairs the same input pixel with the same
+    tap; sums accumulate in f32 either way), but the contraction dim grows
+    from 7*7*3=147 to 4*4*12=192 with denser lane packing — the naive stem
+    measures ~22% MFU on v5e, the dominant backbone inefficiency. The
+    parameter tree matches nn.Conv exactly (params["conv1"]["kernel"]) so
+    checkpoint conversion/initialization are unchanged.
+    """
+
+    features: int
+    in_channels: int = 3
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import jax
+        C, F = self.in_channels, self.features
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (7, 7, C, F),
+            jnp.float32)
+        # (du, dv)-phase extraction via strided slices: sublane-dim strides
+        # keep the (tiny) channel dim contiguous — a reshape+transpose with
+        # innermost dims (2, 2, C) would be a worst-case tiled relayout
+        y = jnp.concatenate(
+            [x[:, du::2, dv::2, :] for du in range(2) for dv in range(2)],
+            axis=-1)                           # (B, H/2, W/2, 4*C)
+
+        # K4[ai, aj, ((du*2+dv)*C)+c, f] = W[2*ai+du-1, 2*aj+dv-1, c, f]
+        # (out-of-range taps are zero); derivation: output pixel p reads
+        # input rows u = 2p+i-3, i in [0,7); with u = 2a+du and
+        # a = p-2+ai this gives i = 2*ai+du-1.
+        k4 = jnp.zeros((4, 4, 4 * C, F), kernel.dtype)
+        for ai in range(4):
+            for aj in range(4):
+                for du in range(2):
+                    for dv in range(2):
+                        i, j = 2 * ai + du - 1, 2 * aj + dv - 1
+                        if 0 <= i < 7 and 0 <= j < 7:
+                            k4 = k4.at[ai, aj,
+                                       (du * 2 + dv) * C:(du * 2 + dv + 1) * C
+                                       ].set(kernel[i, j])
+        out = jax.lax.conv_general_dilated(
+            y, k4.astype(x.dtype), window_strides=(1, 1),
+            padding=((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return out
+
+
 class ResNetEncoder(nn.Module):
     """ResNet feature-pyramid encoder.
 
@@ -110,6 +161,10 @@ class ResNetEncoder(nn.Module):
 
     model_name: str = "resnet18"
     groups: int = 1  # >1 = several weight-independent nets fused group-wise
+    # space-to-depth stem: math-identical (see S2DStemConv) but measured
+    # NEUTRAL end to end on v5e — the stem conv's MXU gain (~22% -> denser
+    # packing) is offset by the phase-extraction pass; default off
+    stem_s2d: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
@@ -118,7 +173,10 @@ class ResNetEncoder(nn.Module):
         g = self.groups
         dt = x.dtype
 
-        out = _conv(64 * g, 7, 2, "conv1", dt, g)(x)
+        if self.stem_s2d and g == 1 and x.shape[1] % 2 == 0:
+            out = S2DStemConv(64, x.shape[-1], name="conv1")(x)
+        else:
+            out = _conv(64 * g, 7, 2, "conv1", dt, g)(x)
         out = _bn("bn1", train, dt)(out)
         layer0 = nn.relu(out)
 

@@ -79,3 +79,21 @@ class TestTorchParity:
         shapes_got = {jax.tree_util.keystr(p): v.shape
                       for p, v in jax.tree_util.tree_leaves_with_path(variables)}
         assert shapes_want == shapes_got
+
+
+class TestS2DStem:
+    """Space-to-depth stem == the stored 7x7 stride-2 conv, bit-for-bit up
+    to f32 summation order (models/resnet.py:S2DStemConv)."""
+
+    def test_matches_dense_conv(self):
+        import jax
+        import jax.numpy as jnp
+        from flax import linen as nn
+        from egotap_tpu.models.resnet import S2DStemConv
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3))
+        ref = nn.Conv(64, (7, 7), (2, 2), [(3, 3), (3, 3)], use_bias=False)
+        rv = ref.init(jax.random.PRNGKey(1), x)
+        got = S2DStemConv(64, 3).apply(
+            {"params": {"kernel": rv["params"]["kernel"]}}, x)
+        np.testing.assert_allclose(np.asarray(got),
+                                   np.asarray(ref.apply(rv, x)), atol=2e-5)
