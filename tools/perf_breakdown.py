@@ -1,7 +1,14 @@
-"""Component-level timing on the real chip (amortized inside lax.scan).
+"""Component-level timing + MFU accounting on the real chip.
 
 Usage: python tools/perf_breakdown.py [component ...]
 Components: heatmaps lifter metrics evalfull
+
+For each component prints: compile time, best ms/iter (amortized inside a
+lax.scan so the relay's per-dispatch latency cancels), pairs/s, the XLA
+cost-analysis FLOP count for ONE iteration, achieved TFLOP/s, and the
+percentage of the chip's bf16 peak (EGOTAP_PEAK_TFLOPS env override;
+default 197 = TPU v5e bf16). This substantiates the MFU claims in
+BASELINE.md/docs with checkable arithmetic rather than estimates.
 """
 
 import os
@@ -19,6 +26,39 @@ from egotap_tpu.train.tasks import LifterTask
 
 BATCH = 32
 K = 16
+PEAK_TFLOPS = float(os.environ.get("EGOTAP_PEAK_TFLOPS", "197"))
+
+
+def component_flops(fn, *args) -> float:
+    """XLA cost-analysis FLOPs of one un-scanned iteration."""
+    try:
+        compiled = jax.jit(fn).lower(0, *args).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):  # older jax returns [dict]
+            cost = cost[0]
+        return float(cost.get("flops", float("nan")))
+    except Exception as e:  # cost analysis is best-effort on some backends
+        print(f"  (cost analysis unavailable: {e})")
+        return float("nan")
+
+
+_DISPATCH_OVERHEAD = None
+
+
+def dispatch_overhead() -> float:
+    """Fixed per-dispatch latency (the CI relay round-trip is ~30-40 ms);
+    must be subtracted or it inflates every k=16 scan by ~2 ms/iter."""
+    global _DISPATCH_OVERHEAD
+    if _DISPATCH_OVERHEAD is None:
+        trivial = jax.jit(lambda x: x + 1.0)
+        float(trivial(jnp.zeros(())))
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(trivial(jnp.zeros(())))
+            best = min(best, time.perf_counter() - t0)
+        _DISPATCH_OVERHEAD = best
+    return _DISPATCH_OVERHEAD
 
 
 def timed_scan(fn, *args, k=K, label=""):
@@ -29,6 +69,7 @@ def timed_scan(fn, *args, k=K, label=""):
         acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(k))
         return acc
 
+    overhead = dispatch_overhead()
     t0 = time.perf_counter()
     float(run(*args))
     compile_s = time.perf_counter() - t0
@@ -37,9 +78,15 @@ def timed_scan(fn, *args, k=K, label=""):
         t0 = time.perf_counter()
         float(run(*args))
         best = min(best, time.perf_counter() - t0)
-    per_iter = best / k
-    print(f"{label:12s} compile {compile_s:7.1f}s   {per_iter * 1e3:8.2f} ms/iter"
-          f"   {BATCH / per_iter:9.1f} pairs/s")
+    per_iter = max(best - overhead, 1e-9) / k
+
+    flops = component_flops(fn, *args)
+    tflops = flops / per_iter / 1e12
+    pct = 100.0 * tflops / PEAK_TFLOPS
+    print(f"{label:12s} compile {compile_s:6.1f}s  {per_iter * 1e3:8.2f} ms"
+          f"  {BATCH / per_iter:8.1f} pairs/s  {flops / 1e9:8.1f} GFLOP"
+          f"  {tflops:7.1f} TF/s  {pct:5.1f}% of {PEAK_TFLOPS:.0f}TF peak")
+    return per_iter, flops
 
 
 def main():
@@ -52,34 +99,47 @@ def main():
         patched_heatmap_ae=True, load_size_heatmap=(64, 64),
         batch_size=BATCH, use_amp=True, niter=1, niter_decay=15)
     task = LifterTask(cfg)
-    state = task.init_state(jax.random.PRNGKey(0), iters_per_epoch=1)
+    # init on host CPU (jit-init through the relay takes minutes)
+    try:
+        hostcpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(hostcpu):
+            state = task.init_state(jax.random.PRNGKey(0), iters_per_epoch=1)
+        state = jax.device_put(state, jax.devices()[0])
+    except RuntimeError:
+        state = task.init_state(jax.random.PRNGKey(0), iters_per_epoch=1)
     rgb = jax.random.normal(jax.random.PRNGKey(1),
                             (BATCH, 2, 256, 256, 3), jnp.float32)
     gt = jax.random.normal(jax.random.PRNGKey(2), (BATCH, 16, 3))
-    hm = jax.random.normal(jax.random.PRNGKey(3), (BATCH, 64, 64, 90))
+    hm = jax.random.normal(jax.random.PRNGKey(3), (BATCH, 64, 64, 90),
+                           jnp.float32)
     pose = jax.random.normal(jax.random.PRNGKey(4), (BATCH, 16, 3))
 
+    print(f"batch {BATCH}, bf16 compute (use_amp), peak {PEAK_TFLOPS:.0f} "
+          f"TFLOP/s (override with EGOTAP_PEAK_TFLOPS)")
+
+    results = {}
     if "heatmaps" in which:
         def f_hm(i, state, rgb):
             out, _ = task._forward_heatmaps(
                 state.frozen, {"input_rgb": rgb + i * 1e-6}, train=False)
             return jnp.mean(out)
-        timed_scan(f_hm, state, rgb, label="heatmaps")
+        results["heatmaps"] = timed_scan(f_hm, state, rgb, label="heatmaps")
 
     if "lifter" in which:
         def f_lift(i, state, hm):
+            from egotap_tpu.train.tasks import _dtype
             p = task.lifter.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
-                hm + i * 1e-6, train=False)
-            return jnp.mean(p)
-        timed_scan(f_lift, state, hm, label="lifter")
+                (hm + i * 1e-6).astype(_dtype(cfg)), train=False)
+            return jnp.mean(p.astype(jnp.float32))
+        results["lifter"] = timed_scan(f_lift, state, hm, label="lifter")
 
     if "metrics" in which:
         from egotap_tpu.eval.metrics import pose_metrics
         def f_met(i, pose, gt):
             m = pose_metrics(pose + i * 1e-6, gt)
             return jnp.mean(m["pa_mpjpe"]) + jnp.mean(m["mpjpe"])
-        timed_scan(f_met, pose, gt, label="metrics")
+        results["metrics"] = timed_scan(f_met, pose, gt, label="metrics")
 
     if "evalfull" in which:
         def f_full(i, state, rgb, gt):
@@ -87,7 +147,15 @@ def main():
                                          "gt_local_pose": gt})
             return jnp.mean(out["pred_pose"]) + jnp.mean(
                 out["metrics"]["pa_mpjpe"])
-        timed_scan(f_full, state, rgb, gt, label="evalfull")
+        results["evalfull"] = timed_scan(f_full, state, rgb, gt,
+                                         label="evalfull")
+
+    if "evalfull" in results and len(results) > 1:
+        parts = sum(t for k, (t, _) in results.items() if k != "evalfull")
+        full = results["evalfull"][0]
+        print(f"{'(glue)':12s} evalfull - sum(parts) = "
+              f"{(full - parts) * 1e3:+.2f} ms (fusion across components, "
+              f"layout changes, or unattributed work)")
 
 
 if __name__ == "__main__":

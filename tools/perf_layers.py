@@ -1,0 +1,139 @@
+"""Layer-level micro-benchmarks of the eval step's building blocks.
+
+Usage: python tools/perf_layers.py [name ...]
+Names: backbone stem decoder head upsample vit fc pu
+
+Isolates where the heatmap nets lose MFU (stem? layer1? decoder convs?
+upsample? the narrow output head?) and what the lifter's time splits into.
+Same timed-scan + cost-analysis methodology as tools/perf_breakdown.py.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+import jax
+import jax.numpy as jnp
+
+from egotap_tpu.core.cache import enable_compilation_cache
+from tools.perf_breakdown import timed_scan
+
+B = 32
+DT = jnp.bfloat16
+
+
+def main():
+    which = set(sys.argv[1:]) or {"backbone", "stem", "decoder", "head",
+                                  "upsample", "vit", "fc", "pu"}
+    enable_compilation_cache()
+    rng = jax.random.PRNGKey(0)
+
+    if {"backbone", "stem", "decoder", "head"} & which:
+        from egotap_tpu.models.heatmap_net import HeatmapUNet
+        from egotap_tpu.models.resnet import ResNetEncoder
+        net = HeatmapUNet(num_output_maps=15, model_name="resnet18")
+        rgb = jax.random.normal(rng, (B, 2, 256, 256, 3), DT)
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            variables = net.init(jax.random.PRNGKey(1),
+                                 jnp.zeros((1, 2, 256, 256, 3)), train=False)
+        variables = jax.device_put(variables, jax.devices()[0])
+
+        if "backbone" in which:
+            enc = ResNetEncoder("resnet18")
+            bvars = {"params": variables["params"]["backbone"],
+                     "batch_stats": variables["batch_stats"]["backbone"]}
+            def f_bb(i, v, x):
+                flat = (x + i * 1e-6).reshape(B * 2, 256, 256, 3)
+                feats = enc.apply(v, flat, train=False)
+                return sum(jnp.mean(f.astype(jnp.float32)) for f in feats[1:])
+            timed_scan(f_bb, bvars, rgb, label="backbone(2v)")
+
+        if "stem" in which:
+            from flax import linen as nn
+            stem = nn.Conv(64, (7, 7), (2, 2), [(3, 3), (3, 3)],
+                           use_bias=False, dtype=DT)
+            with jax.default_device(cpu):
+                sv = stem.init(rng, jnp.zeros((1, 256, 256, 3), DT))
+            sv = jax.device_put(sv, jax.devices()[0])
+            x = jax.random.normal(rng, (B * 2, 256, 256, 3), DT)
+            def f_stem(i, v, x):
+                return jnp.mean(stem.apply(v, x + i * 1e-6)
+                                .astype(jnp.float32))
+            timed_scan(f_stem, sv, x, label="stem(2v)")
+
+        if "decoder" in which:
+            # decoder given a fake merged pyramid (both views concatenated)
+            def f_dec(i, v, x):
+                out = net.apply(v, x + i * 1e-6, train=False)
+                return jnp.mean(out.astype(jnp.float32))
+            # full net minus backbone isn't separable through flax apply;
+            # approximate: full net time here, subtract backbone(2v) above
+            timed_scan(f_dec, variables, rgb, label="fullnet(1)")
+
+        if "head" in which:
+            from flax import linen as nn
+            head = nn.Conv(30, (1, 1), padding="VALID", dtype=DT)
+            with jax.default_device(cpu):
+                hv = head.init(rng, jnp.zeros((1, 64, 64, 512), DT))
+            hv = jax.device_put(hv, jax.devices()[0])
+            x = jax.random.normal(rng, (B, 64, 64, 512), DT)
+            def f_head(i, v, x):
+                return jnp.mean(head.apply(v, x + i * 1e-6)
+                                .astype(jnp.float32))
+            timed_scan(f_head, hv, x, label="head1x1(N=30)")
+
+    if "upsample" in which:
+        from egotap_tpu.ops.upsample import upsample2x_align_corners
+        for hw, c in ((8, 1024), (16, 1024), (32, 512)):
+            x = jax.random.normal(rng, (B, hw, hw, c), DT)
+            def f_up(i, x):
+                return jnp.mean(
+                    upsample2x_align_corners(x + i * 1e-6)
+                    .astype(jnp.float32))
+            timed_scan(f_up, x, label=f"up{hw}->{hw*2}x{c}")
+
+    if "vit" in which:
+        from egotap_tpu.models.vit import GridViT
+        vit = GridViT(num_tiles=30, channels=1)
+        x = jax.random.normal(rng, (B, 30, 1, 64, 64), DT)
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            vv = vit.init(jax.random.PRNGKey(1), jnp.zeros((1, 30, 1, 64, 64)))
+        vv = jax.device_put(vv, jax.devices()[0])
+        def f_vit(i, v, x):
+            return jnp.mean(vit.apply(v, x + i * 1e-6).astype(jnp.float32))
+        timed_scan(f_vit, vv, x, label="gridvit")
+
+    if "fc" in which:
+        from egotap_tpu.models.encoders import LimbFCEncoder
+        fc = LimbFCEncoder(hidden_size=128)
+        x = jax.random.normal(rng, (B, 60, 2 * 64 * 64), DT)
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            fv = fc.init(jax.random.PRNGKey(1), jnp.zeros((1, 60, 2 * 64 * 64)))
+        fv = jax.device_put(fv, jax.devices()[0])
+        def f_fc(i, v, x):
+            return jnp.mean(fc.apply(v, x + i * 1e-6, train=False)
+                            .astype(jnp.float32))
+        timed_scan(f_fc, fv, x, label="limbfc")
+
+    if "pu" in which:
+        from egotap_tpu.models.cells import PUChain
+        pu = PUChain(input_size=256, bridge_size=256, hidden_size=512)
+        xs = jax.random.normal(rng, (B, 15, 256), DT)
+        br = jax.random.normal(jax.random.PRNGKey(2), (B, 15, 256), DT)
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            pv = pu.init(jax.random.PRNGKey(1),
+                         jnp.zeros((1, 15, 256)), jnp.zeros((1, 15, 256)))
+        pv = jax.device_put(pv, jax.devices()[0])
+        def f_pu(i, v, x, b):
+            return jnp.mean(pu.apply(v, x + i * 1e-6, b)
+                            .astype(jnp.float32))
+        timed_scan(f_pu, pv, xs, br, label="pu_scan")
+
+
+if __name__ == "__main__":
+    main()
