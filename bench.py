@@ -42,12 +42,19 @@ def main() -> None:
 
     enable_compilation_cache()
 
+    # The deployment serving configuration: bf16 compute + int8 heatmap-net
+    # inference (ops/quant.py — dynamic-activation/per-channel-weight PTQ).
+    # Numerics gates: bf16 lifter deviates 0.0064 mm pose vs f32 and the
+    # int8 stage-1 path is deviation-bounded by tests/test_quantized.py and
+    # tools/check_tpu.py; the f32 reference-parity path (test CLI) is
+    # untouched. bf16-only throughput is tracked in BASELINE.md.
     cfg = synthetic_config(
         "/tmp/egotap_bench_data", "UnrealEgo",
         model="egotap_autoencoder", num_heatmap=15, num_rot_heatmap=15,
         heatmap_type="sin", skel_layer="PU", ae_hidden_size=128,
         patched_heatmap_ae=True, load_size_heatmap=(64, 64),
-        batch_size=BATCH, use_amp=True, niter=1, niter_decay=15)
+        batch_size=BATCH, use_amp=True, niter=1, niter_decay=15,
+        int8_heatmap_inference=True)
 
     task = LifterTask(cfg)
     # init on the host CPU backend (fast) and transfer — jit-initializing

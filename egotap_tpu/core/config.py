@@ -41,6 +41,12 @@ class Config:
     use_gt_heatmap: bool = False
 
     # --- network --------------------------------------------------------
+    # int8 heatmap-net INFERENCE (eval/serving only; training and the f32
+    # parity path are untouched): dynamic per-tensor activation + static
+    # per-channel weight quantization. Changes numerics — see
+    # tests/test_quantized.py and tools/check_tpu.py for the measured
+    # pose deviation bound. Roughly doubles stage-1 MXU throughput.
+    int8_heatmap_inference: bool = False
     ae_hidden_size: int = 20
     skel_layer: str = "LSTM"               # PU | None (chain-parity PU shipped)
     patched_heatmap_ae: bool = False

@@ -49,36 +49,45 @@ class HeatmapUNet(nn.Module):
     num_output_maps: int
     model_name: str = "resnet18"
     views: int = 2
+    # int8 inference convs throughout (ops/quant.py; identical param tree,
+    # gated by Config.int8_heatmap_inference — eval/serving only)
+    quant: bool = False
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         """images: (B, V, H, W, 3) -> heatmaps (B, H/4, W/4, num_output_maps*V)."""
         b, v = images.shape[0], images.shape[1]
         assert v == self.views, f"expected {self.views} views, got {v}"
+        q = self.quant
         flat = images.reshape((b * v,) + images.shape[2:])
 
-        pyramid = ResNetEncoder(self.model_name, name="backbone")(flat, train=train)
+        pyramid = ResNetEncoder(self.model_name, quant=q,
+                                name="backbone")(flat, train=train)
         merged = [_merge_views(f, b, v) for f in pyramid]
         _, _, layer1, layer2, layer3, layer4 = merged
 
         fs = feature_expansion(self.model_name) * self.views
 
-        layer4 = ConvReLU(512 * fs, 1, 0, name="layer4_1x1")(layer4)
+        layer4 = ConvReLU(512 * fs, 1, 0, quant=q, name="layer4_1x1")(layer4)
         x = upsample2x_align_corners(layer4)
-        layer3 = ConvReLU(258 * fs, 1, 0, name="layer3_1x1")(layer3)
+        layer3 = ConvReLU(258 * fs, 1, 0, quant=q, name="layer3_1x1")(layer3)
         x = jnp.concatenate([x, layer3], axis=-1)
-        x = ConvReLU(512 * fs, 3, 1, name="conv_up3")(x)
+        x = ConvReLU(512 * fs, 3, 1, quant=q, name="conv_up3")(x)
 
         x = upsample2x_align_corners(x)
-        layer2 = ConvReLU(128 * fs, 1, 0, name="layer2_1x1")(layer2)
+        layer2 = ConvReLU(128 * fs, 1, 0, quant=q, name="layer2_1x1")(layer2)
         x = jnp.concatenate([x, layer2], axis=-1)
-        x = ConvReLU(256 * fs, 3, 1, name="conv_up2")(x)
+        x = ConvReLU(256 * fs, 3, 1, quant=q, name="conv_up2")(x)
 
         x = upsample2x_align_corners(x)
-        layer1 = ConvReLU(64 * fs, 1, 0, name="layer1_1x1")(layer1)
+        layer1 = ConvReLU(64 * fs, 1, 0, quant=q, name="layer1_1x1")(layer1)
         x = jnp.concatenate([x, layer1], axis=-1)
-        x = ConvReLU(256 * fs, 3, 1, name="conv_up1")(x)
+        x = ConvReLU(256 * fs, 3, 1, quant=q, name="conv_up1")(x)
 
+        if q:
+            from egotap_tpu.ops.quant import QConv
+            return QConv(self.num_output_maps * self.views, 1, 1, 0,
+                         use_bias=True, name="conv_heatmap")(x)
         out = nn.Conv(self.num_output_maps * self.views, kernel_size=(1, 1),
                       padding="VALID", use_bias=True, name="conv_heatmap",
                       dtype=x.dtype)(x)

@@ -41,9 +41,16 @@ class ConvReLU(nn.Module):
     padding: int = 1
     stride: int = 1
     groups: int = 1
+    quant: bool = False  # int8 inference conv (ops/quant.py)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.quant:
+            from egotap_tpu.ops.quant import QConv
+            x = QConv(self.features, self.kernel_size, self.stride,
+                      self.padding, self.groups, use_bias=True,
+                      name="conv")(x)
+            return nn.relu(x)
         x = nn.Conv(
             self.features,
             kernel_size=(self.kernel_size, self.kernel_size),

@@ -43,8 +43,12 @@ def _bn(name: str, train: bool, dtype):
 
 
 def _conv(features: int, kernel: int, stride: int, name: str, dtype,
-          groups: int = 1):
+          groups: int = 1, quant: bool = False):
     pad = kernel // 2
+    if quant:
+        from egotap_tpu.ops.quant import QConv
+        return QConv(features, kernel, stride, pad, groups,
+                     use_bias=False, name=name)
     return nn.Conv(features, kernel_size=(kernel, kernel),
                    strides=(stride, stride),
                    padding=[(pad, pad), (pad, pad)],
@@ -57,20 +61,21 @@ class BasicBlock(nn.Module):
     stride: int = 1
     downsample: bool = False
     groups: int = 1
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         dt = x.dtype
-        g = self.groups
+        g, q = self.groups, self.quant
         identity = x
-        out = _conv(self.features, 3, self.stride, "conv1", dt, g)(x)
+        out = _conv(self.features, 3, self.stride, "conv1", dt, g, q)(x)
         out = _bn("bn1", train, dt)(out)
         out = nn.relu(out)
-        out = _conv(self.features, 3, 1, "conv2", dt, g)(out)
+        out = _conv(self.features, 3, 1, "conv2", dt, g, q)(out)
         out = _bn("bn2", train, dt)(out)
         if self.downsample:
             identity = _conv(self.features, 1, self.stride, "downsample_0",
-                             dt, g)(x)
+                             dt, g, q)(x)
             identity = _bn("downsample_1", train, dt)(identity)
         return nn.relu(out + identity)
 
@@ -80,23 +85,24 @@ class Bottleneck(nn.Module):
     stride: int = 1
     downsample: bool = False
     groups: int = 1
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         dt = x.dtype
-        g = self.groups
+        g, q = self.groups, self.quant
         identity = x
-        out = _conv(self.features, 1, 1, "conv1", dt, g)(x)
+        out = _conv(self.features, 1, 1, "conv1", dt, g, q)(x)
         out = _bn("bn1", train, dt)(out)
         out = nn.relu(out)
-        out = _conv(self.features, 3, self.stride, "conv2", dt, g)(out)
+        out = _conv(self.features, 3, self.stride, "conv2", dt, g, q)(out)
         out = _bn("bn2", train, dt)(out)
         out = nn.relu(out)
-        out = _conv(self.features * 4, 1, 1, "conv3", dt, g)(out)
+        out = _conv(self.features * 4, 1, 1, "conv3", dt, g, q)(out)
         out = _bn("bn3", train, dt)(out)
         if self.downsample:
             identity = _conv(self.features * 4, 1, self.stride,
-                             "downsample_0", dt, g)(x)
+                             "downsample_0", dt, g, q)(x)
             identity = _bn("downsample_1", train, dt)(identity)
         return nn.relu(out + identity)
 
@@ -165,6 +171,7 @@ class ResNetEncoder(nn.Module):
     # NEUTRAL end to end on v5e — the stem conv's MXU gain (~22% -> denser
     # packing) is offset by the phase-extraction pass; default off
     stem_s2d: bool = False
+    quant: bool = False  # int8 inference convs (ops/quant.py)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
@@ -176,7 +183,7 @@ class ResNetEncoder(nn.Module):
         if self.stem_s2d and g == 1 and x.shape[1] % 2 == 0:
             out = S2DStemConv(64, x.shape[-1], name="conv1")(x)
         else:
-            out = _conv(64 * g, 7, 2, "conv1", dt, g)(x)
+            out = _conv(64 * g, 7, 2, "conv1", dt, g, self.quant)(x)
         out = _bn("bn1", train, dt)(out)
         layer0 = nn.relu(out)
 
@@ -192,7 +199,8 @@ class ResNetEncoder(nn.Module):
                 out_ch = width * g * (1 if kind == "basic" else 4)
                 need_ds = (stride != 1) or (in_ch != out_ch)
                 out = block(width * g, stride=stride, downsample=need_ds,
-                            groups=g, name=f"layer{li}_{bi}")(out, train=train)
+                            groups=g, quant=self.quant,
+                            name=f"layer{li}_{bi}")(out, train=train)
             feats.append(out)
 
         layer1, layer2, layer3, layer4 = feats

@@ -31,16 +31,18 @@ from egotap_tpu.models.lifter import EgoTAPLifter
 class Predictor:
     def __init__(self, cfg: Config, heatmap_vars: Dict,
                  rot_heatmap_vars: Dict, lifter_vars: Dict,
-                 bf16: bool = True):
+                 bf16: bool = True, int8: bool = False):
         cfg = cfg.derive() if not hasattr(cfg, "estimate_head") else cfg
         self.cfg = cfg
         self.bf16 = bf16
         sk = get_skeleton(cfg.joint_preset)
+        # int8: quantized-conv heatmap nets (ops/quant.py), same variables
         self.pos_net = HeatmapUNet(num_output_maps=cfg.num_heatmap,
-                                   model_name=cfg.model_name, views=cfg.views)
+                                   model_name=cfg.model_name,
+                                   views=cfg.views, quant=int8)
         self.rot_net = HeatmapUNet(
             num_output_maps=cfg.num_rot_heatmap * cfg.limb_dim,
-            model_name=cfg.model_name, views=cfg.views)
+            model_name=cfg.model_name, views=cfg.views, quant=int8)
         self.lifter = EgoTAPLifter(
             num_heatmap=cfg.num_heatmap, num_joints=cfg.num_joints_out,
             views=cfg.views, limb_dim=cfg.limb_dim,

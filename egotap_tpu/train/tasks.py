@@ -205,6 +205,18 @@ class LifterTask:
                                    model_name=cfg.model_name, views=self.views)
         self.rot_net = HeatmapUNet(num_output_maps=self.nr * self.ld,
                                    model_name=cfg.model_name, views=self.views)
+        if cfg.int8_heatmap_inference:
+            # int8 INFERENCE twins: identical parameter trees, quantized
+            # convs (ops/quant.py); used only on the train=False path so
+            # training and frozen-BN evolution are unchanged
+            self.pos_net_eval = HeatmapUNet(
+                num_output_maps=self.nh, model_name=cfg.model_name,
+                views=self.views, quant=True)
+            self.rot_net_eval = HeatmapUNet(
+                num_output_maps=self.nr * self.ld,
+                model_name=cfg.model_name, views=self.views, quant=True)
+        else:
+            self.pos_net_eval, self.rot_net_eval = self.pos_net, self.rot_net
         self.lifter = EgoTAPLifter(
             num_heatmap=self.nh, num_joints=cfg.num_joints_out,
             num_rot_heatmap=self.nr,
@@ -257,8 +269,10 @@ class LifterTask:
         rgb = batch["input_rgb"].astype(_dtype(cfg))
         new_frozen = dict(frozen)
         outs = []
-        for key, net in (("heatmap", self.pos_net),
-                         ("rot_heatmap", self.rot_net)):
+        for key, net, eval_net in (("heatmap", self.pos_net,
+                                    self.pos_net_eval),
+                                   ("rot_heatmap", self.rot_net,
+                                    self.rot_net_eval)):
             fv = frozen[key]
             if train:
                 out, upd = net.apply(fv, rgb, train=True,
@@ -266,7 +280,7 @@ class LifterTask:
                 new_frozen[key] = {"params": fv["params"],
                                    "batch_stats": upd["batch_stats"]}
             else:
-                out = net.apply(fv, rgb, train=False)
+                out = eval_net.apply(fv, rgb, train=False)
             outs.append(out)  # compute dtype (bf16 under amp) end-to-end:
             # a f32 round-trip of the 90-channel stack costs two full HBM
             # passes and the lifter consumes the compute dtype anyway

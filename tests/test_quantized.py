@@ -1,0 +1,83 @@
+"""int8 inference path (ops/quant.py): parameter-tree compatibility and
+deviation bounds vs the full-precision graph."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from egotap_tpu.models.heatmap_net import HeatmapUNet
+from egotap_tpu.ops.quant import QConv, quantized_conv
+
+
+class TestQuantizedConv:
+    def test_matches_fp_within_quant_error(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 32))
+        w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 32, 64)) * 0.05
+        ref = jax.lax.conv_general_dilated(
+            x, w, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        got = quantized_conv(x, w, 1, ((1, 1), (1, 1)))
+        # int8 error bound: relative to the output magnitude
+        scale = float(jnp.abs(ref).max())
+        err = float(jnp.abs(got - ref).max())
+        assert err < 0.03 * scale, (err, scale)
+
+    def test_param_tree_matches_nn_conv(self):
+        from flax import linen as nn
+        x = jnp.zeros((1, 8, 8, 16))
+        q = QConv(24, 3, 1, 1, use_bias=True)
+        c = nn.Conv(24, (3, 3), (1, 1), [(1, 1), (1, 1)], use_bias=True)
+        qv = q.init(jax.random.PRNGKey(0), x)
+        cv = c.init(jax.random.PRNGKey(0), x)
+        assert jax.tree_util.tree_structure(qv) == \
+            jax.tree_util.tree_structure(cv)
+        for (_, a), (_, b) in zip(
+                jax.tree_util.tree_leaves_with_path(qv),
+                jax.tree_util.tree_leaves_with_path(cv)):
+            assert a.shape == b.shape
+
+
+class TestQuantizedUNet:
+    def test_same_variables_drive_both_graphs(self):
+        """The quantized net consumes the full-precision net's variables
+        unchanged and stays within a few % of its outputs."""
+        fp = HeatmapUNet(num_output_maps=15, model_name="resnet18")
+        q = HeatmapUNet(num_output_maps=15, model_name="resnet18",
+                        quant=True)
+        rgb = jax.random.normal(jax.random.PRNGKey(0), (2, 2, 64, 64, 3))
+        variables = fp.init(jax.random.PRNGKey(1), rgb, train=False)
+        out_fp = fp.apply(variables, rgb, train=False)
+        out_q = q.apply(variables, rgb, train=False)
+        assert out_q.shape == out_fp.shape
+        scale = float(jnp.abs(out_fp).max())
+        err = float(jnp.abs(out_q - out_fp).max())
+        # 17 quantized convs compound; random weights are a worst-ish case
+        assert err < 0.25 * scale, (err, scale)
+        # and the relative energy of the difference stays small
+        rel = float(jnp.linalg.norm(out_q - out_fp)
+                    / jnp.linalg.norm(out_fp))
+        assert rel < 0.08, rel
+
+    def test_lifter_task_int8_flag(self, tmp_path):
+        from egotap_tpu.data.synthetic import synthetic_config
+        from egotap_tpu.train.tasks import LifterTask
+        cfg = synthetic_config(
+            str(tmp_path / "d"), "UnrealEgo", model="egotap_autoencoder",
+            num_heatmap=15, num_rot_heatmap=15, heatmap_type="sin",
+            skel_layer="PU", ae_hidden_size=32, patched_heatmap_ae=True,
+            load_size_heatmap=(16, 16), batch_size=2, niter=1, niter_decay=1,
+            int8_heatmap_inference=True)
+        task = LifterTask(cfg)
+        state = task.init_state(jax.random.PRNGKey(0), iters_per_epoch=1)
+        batch = {
+            "input_rgb": jax.random.normal(jax.random.PRNGKey(2),
+                                           (2, 2, 64, 64, 3)),
+            "gt_local_pose": jnp.zeros((2, 16, 3)),
+        }
+        out = task.eval_step(state, batch)
+        assert np.isfinite(np.asarray(out["pred_pose"])).all()
+        # train path is NOT quantized: one step still runs and updates
+        state2, losses = task.train_step(state, dict(batch))
+        assert all(np.isfinite(float(v)) for v in losses.values())

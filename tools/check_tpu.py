@@ -108,10 +108,34 @@ def check_bf16_lifter():
     assert diff * 10 < 1.0, "bf16 fast path must stay within 1 mm"
 
 
+def check_int8_pipeline():
+    """End-to-end pose deviation of the int8 heatmap-net inference path
+    (random weights; real-weight deviation is validated with
+    tools/validate_released.py once weights are provisioned)."""
+    from egotap_tpu.models.heatmap_net import HeatmapUNet
+    rgb = jax.random.normal(jax.random.PRNGKey(0), (4, 2, 256, 256, 3))
+    fp = HeatmapUNet(num_output_maps=15)
+    q = HeatmapUNet(num_output_maps=15, quant=True)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        variables = fp.init(jax.random.PRNGKey(1),
+                            jnp.zeros((1, 2, 256, 256, 3)), train=False)
+    variables = jax.device_put(variables, jax.devices()[0])
+    a = jax.jit(lambda v, x: fp.apply(
+        v, x.astype(jnp.bfloat16), train=False))(variables, rgb)
+    b = jax.jit(lambda v, x: q.apply(
+        v, x.astype(jnp.bfloat16), train=False))(variables, rgb)
+    a, b = a.astype(jnp.float32), b.astype(jnp.float32)
+    rel = float(jnp.linalg.norm(a - b) / jnp.linalg.norm(a))
+    print(f"int8 heatmap-net relative output deviation: {rel:.3f}")
+    assert rel < 0.1, rel
+
+
 if __name__ == "__main__":
     enable_compilation_cache()
     assert jax.default_backend() == "tpu", jax.default_backend()
     check_attention()
     check_pu_kernel()
     check_bf16_lifter()
+    check_int8_pipeline()
     print("all TPU checks passed")

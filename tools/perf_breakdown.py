@@ -91,13 +91,16 @@ def timed_scan(fn, *args, k=K, label=""):
 
 def main():
     which = set(sys.argv[1:]) or {"heatmaps", "lifter", "metrics", "evalfull"}
+    int8 = "int8" in which  # e.g. `perf_breakdown.py heatmaps int8`
+    which.discard("int8")
     enable_compilation_cache()
     cfg = synthetic_config(
         "/tmp/egotap_bench_data", "UnrealEgo",
         model="egotap_autoencoder", num_heatmap=15, num_rot_heatmap=15,
         heatmap_type="sin", skel_layer="PU", ae_hidden_size=128,
         patched_heatmap_ae=True, load_size_heatmap=(64, 64),
-        batch_size=BATCH, use_amp=True, niter=1, niter_decay=15)
+        batch_size=BATCH, use_amp=True, niter=1, niter_decay=15,
+        int8_heatmap_inference=int8)
     task = LifterTask(cfg)
     # init on host CPU (jit-init through the relay takes minutes)
     try:
