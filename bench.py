@@ -54,7 +54,7 @@ def main() -> None:
         heatmap_type="sin", skel_layer="PU", ae_hidden_size=128,
         patched_heatmap_ae=True, load_size_heatmap=(64, 64),
         batch_size=BATCH, use_amp=True, niter=1, niter_decay=15,
-        int8_heatmap_inference=True)
+        int8_heatmap_inference=True, int8_lifter_inference=True)
 
     task = LifterTask(cfg)
     # init on the host CPU backend (fast) and transfer — jit-initializing

@@ -47,6 +47,9 @@ class Config:
     # tests/test_quantized.py and tools/check_tpu.py for the measured
     # pose deviation bound. Roughly doubles stage-1 MXU throughput.
     int8_heatmap_inference: bool = False
+    # int8 lifter-ViT INFERENCE matmuls (qkv/out/mlp; attention itself
+    # stays bf16); same gating rules as int8_heatmap_inference
+    int8_lifter_inference: bool = False
     ae_hidden_size: int = 20
     skel_layer: str = "LSTM"               # PU | None (chain-parity PU shipped)
     patched_heatmap_ae: bool = False

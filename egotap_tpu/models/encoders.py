@@ -26,13 +26,14 @@ class GridViTEncoder(nn.Module):
     vit_hidden: int = 1024
     vit_layers: int = 3
     heatmap_size: int = 64
+    quant: bool = False   # int8 inference ViT matmuls
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         b, n = x.shape[0], x.shape[1]
         z = GridViT(num_tiles=self.num_tiles, channels=self.channels,
                     hidden_size=self.vit_hidden, num_layers=self.vit_layers,
-                    heatmap_size=self.heatmap_size,
+                    heatmap_size=self.heatmap_size, quant=self.quant,
                     name="vit")(x)
         # FC stack over flattened (B*N) rows — train-mode BN spans B*N rows
         # exactly like the reference (net_architecture.py:406-411)

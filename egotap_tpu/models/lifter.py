@@ -55,6 +55,7 @@ class EgoTAPLifter(nn.Module):
     use_global_offset: bool = True    # UnrealEgo + estimate_head
     pu_semantics: str = "chain"
     parents: Optional[Tuple[int, ...]] = None
+    quant: bool = False               # int8 inference ViT matmuls
 
     @nn.compact
     def __call__(self, heatmaps: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -86,6 +87,7 @@ class EgoTAPLifter(nn.Module):
         pos_embed = GridViTEncoder(
             num_tiles=J * V, hidden_size=hid, channels=1,
             vit_layers=self.vit_layers, heatmap_size=res,
+            quant=self.quant,
             name="pos_encoder")(pos_patches, train=train)  # (B, V*J*hid)
         rot_embed = LimbFCEncoder(hidden_size=hid, name="rot_encoder")(
             rot_rows, train=train)               # (B, V*Jr*hid)

@@ -58,6 +58,13 @@ class ViTBlock(nn.Module):
     hidden_size: int
     num_heads: int
     mlp_dim: int
+    quant: bool = False  # int8 inference matmuls (ops/quant.py)
+
+    def _dense(self, feats, name, dtype):
+        if self.quant:
+            from egotap_tpu.ops.quant import QDense
+            return QDense(feats, name=name)
+        return nn.Dense(feats, name=name, dtype=dtype)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -65,25 +72,25 @@ class ViTBlock(nn.Module):
         h = self.num_heads
 
         y = nn.LayerNorm(epsilon=LN_EPS, name="ln_before", dtype=x.dtype)(x)
-        q = nn.Dense(d, name="query", dtype=x.dtype)(y)
-        k = nn.Dense(d, name="key", dtype=x.dtype)(y)
-        v = nn.Dense(d, name="value", dtype=x.dtype)(y)
+        q = self._dense(d, "query", x.dtype)(y)
+        k = self._dense(d, "key", x.dtype)(y)
+        v = self._dense(d, "value", x.dtype)(y)
 
         # q/k/v stay in projection layout (B, S, H*Dh): the packed kernel
         # slices heads internally, so no (B,H,S,D) transposes are needed
         # on either side (4 full-tensor HBM round-trips per layer saved)
         from egotap_tpu.ops.attention import multihead_attention_packed
         ctx = multihead_attention_packed(q, k, v, heads=h)
-        x = x + nn.Dense(d, name="attn_out", dtype=x.dtype)(ctx)
+        x = x + self._dense(d, "attn_out", x.dtype)(ctx)
 
         y = nn.LayerNorm(epsilon=LN_EPS, name="ln_after", dtype=x.dtype)(x)
-        y = nn.Dense(self.mlp_dim, name="mlp_in", dtype=x.dtype)(y)
+        y = self._dense(self.mlp_dim, "mlp_in", x.dtype)(y)
         # exact erf-gelu on the f32 parity path (the HF reference's
         # activation); under bf16 compute the tanh approximation's ~1e-3
         # relative error is below activation granularity and the erf is
         # ~25% of the whole ViT's time on the VPU
         y = jax.nn.gelu(y, approximate=(x.dtype != jnp.float32))
-        return x + nn.Dense(d, name="mlp_out", dtype=x.dtype)(y)
+        return x + self._dense(d, "mlp_out", x.dtype)(y)
 
 
 class GridViT(nn.Module):
@@ -100,6 +107,7 @@ class GridViT(nn.Module):
     num_heads: int = 8
     patch_size: int = 16
     heatmap_size: int = 64
+    quant: bool = False       # int8 inference matmuls (ops/quant.py)
 
     @property
     def tiles_per_side(self) -> int:
@@ -155,7 +163,7 @@ class GridViT(nn.Module):
         tokens = tokens + pos_embed[perm].astype(x.dtype)
 
         for i in range(self.num_layers):
-            tokens = ViTBlock(D, self.num_heads, D * 4,
+            tokens = ViTBlock(D, self.num_heads, D * 4, quant=self.quant,
                               name=f"layer{i}")(tokens)
         tokens = nn.LayerNorm(epsilon=LN_EPS, name="ln_final",
                               dtype=x.dtype)(tokens)

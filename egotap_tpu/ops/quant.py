@@ -55,6 +55,44 @@ def quantized_conv(x: jnp.ndarray, kernel: jnp.ndarray,
     return out.astype(x.dtype)
 
 
+def quantized_dense(x: jnp.ndarray, kernel: jnp.ndarray,
+                    bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """int8 matmul with dynamic per-tensor activation / per-column weight
+    scales; x (..., K), kernel (K, N)."""
+    w = kernel.astype(jnp.float32)
+    w_scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0) / 127.0, 1e-12)
+    wq = jnp.clip(jnp.round(w / w_scale), -127, 127).astype(jnp.int8)
+
+    xf = x.astype(jnp.float32)
+    a_scale = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
+    xq = jnp.clip(jnp.round(xf / a_scale), -127, 127).astype(jnp.int8)
+
+    acc = jax.lax.dot_general(
+        xq, wq, (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * (a_scale * w_scale)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+class QDense(nn.Module):
+    """Drop-in nn.Dense replacement running `quantized_dense` with the
+    identical parameter tree."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32) \
+            if self.use_bias else None
+        return quantized_dense(x, kernel, bias)
+
+
 class QConv(nn.Module):
     """Drop-in nn.Conv replacement running `quantized_conv`; declares the
     identical parameter tree (kernel [+ bias]) so the same variables serve

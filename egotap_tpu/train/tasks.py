@@ -217,7 +217,7 @@ class LifterTask:
                 model_name=cfg.model_name, views=self.views, quant=True)
         else:
             self.pos_net_eval, self.rot_net_eval = self.pos_net, self.rot_net
-        self.lifter = EgoTAPLifter(
+        lifter_kw = dict(
             num_heatmap=self.nh, num_joints=cfg.num_joints_out,
             num_rot_heatmap=self.nr,
             views=self.views, limb_dim=self.ld,
@@ -227,6 +227,10 @@ class LifterTask:
             use_global_offset=(cfg.joint_preset == "UnrealEgo"
                                and cfg.estimate_head),
             pu_semantics=cfg.pu_semantics, parents=sk.parents)
+        self.lifter = EgoTAPLifter(**lifter_kw)
+        # int8 INFERENCE twin (identical parameter tree; train unchanged)
+        self.lifter_eval = EgoTAPLifter(quant=True, **lifter_kw) \
+            if cfg.int8_lifter_inference else self.lifter
 
     # ------------------------------------------------------------------
     def init_state(self, rng, iters_per_epoch: int,
@@ -324,8 +328,9 @@ class LifterTask:
         hm_cat, _ = self._forward_heatmaps(state.frozen, batch, train=False)
         # the lifter follows the configured compute dtype at eval exactly
         # like train (the test CLI forces use_amp=False for f32 reference
-        # parity, test_options.py:15; the serving/bench path runs bf16)
-        pose = self.lifter.apply(
+        # parity, test_options.py:15; the serving/bench path runs bf16,
+        # optionally with int8 ViT matmuls via int8_lifter_inference)
+        pose = self.lifter_eval.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             hm_cat.astype(_dtype(self.cfg)), train=False).astype(jnp.float32)
         metrics = pose_metrics(pose, batch["gt_local_pose"])

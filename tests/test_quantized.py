@@ -81,3 +81,31 @@ class TestQuantizedUNet:
         # train path is NOT quantized: one step still runs and updates
         state2, losses = task.train_step(state, dict(batch))
         assert all(np.isfinite(float(v)) for v in losses.values())
+
+
+class TestQuantizedLifter:
+    def test_same_variables_bounded_deviation(self):
+        from egotap_tpu.models.lifter import EgoTAPLifter
+        kw = dict(num_heatmap=15, num_joints=16)
+        fp = EgoTAPLifter(**kw)
+        q = EgoTAPLifter(quant=True, **kw)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 90))
+        variables = fp.init(jax.random.PRNGKey(1), x)
+        a = fp.apply(variables, x, train=False)
+        b = q.apply(variables, x, train=False)
+        assert b.shape == a.shape
+        # pose outputs in cm: quantized ViT must stay close (random-weight
+        # bound; real-weight deviation is measured by check_tpu /
+        # validate_released)
+        dev = float(jnp.abs(a - b).max())
+        ref = float(jnp.abs(a).max())
+        assert dev < 0.05 * max(ref, 1.0), (dev, ref)
+
+    def test_param_trees_identical(self):
+        from egotap_tpu.models.lifter import EgoTAPLifter
+        kw = dict(num_heatmap=5, num_joints=6, vit_layers=1)
+        x = jnp.zeros((1, 64, 64, 30))
+        fp_v = EgoTAPLifter(**kw).init(jax.random.PRNGKey(0), x)
+        q_v = EgoTAPLifter(quant=True, **kw).init(jax.random.PRNGKey(0), x)
+        assert jax.tree_util.tree_structure(fp_v) == \
+            jax.tree_util.tree_structure(q_v)

@@ -107,6 +107,16 @@ def check_bf16_lifter():
     assert ref_diff < 0.1, "f32 parity must stay within 1 mm"
     assert diff * 10 < 1.0, "bf16 fast path must stay within 1 mm"
 
+    # int8 ViT-matmul serving mode: pose deviation vs f32 on the SAME
+    # golden reference weights (real-weight deviation, not just random)
+    qmodel = EgoTAPLifter(num_heatmap=15, num_joints=16, quant=True)
+    q = jax.jit(lambda v, x: qmodel.apply(
+        v, x.astype(jnp.bfloat16), train=False))(variables, x)
+    qdiff = float(jnp.max(jnp.abs(f32 - q.astype(jnp.float32))))
+    print(f"lifter int8-ViT vs f32 max pose diff: {qdiff:.2e} cm "
+          f"({qdiff * 10:.2e} mm)")
+    assert qdiff * 10 < 1.0, "int8 lifter mode must stay within 1 mm"
+
 
 def check_int8_pipeline():
     """End-to-end pose deviation of the int8 heatmap-net inference path

@@ -100,7 +100,7 @@ def main():
         heatmap_type="sin", skel_layer="PU", ae_hidden_size=128,
         patched_heatmap_ae=True, load_size_heatmap=(64, 64),
         batch_size=BATCH, use_amp=True, niter=1, niter_decay=15,
-        int8_heatmap_inference=int8)
+        int8_heatmap_inference=int8, int8_lifter_inference=int8)
     task = LifterTask(cfg)
     # init on host CPU (jit-init through the relay takes minutes)
     try:
@@ -131,7 +131,7 @@ def main():
     if "lifter" in which:
         def f_lift(i, state, hm):
             from egotap_tpu.train.tasks import _dtype
-            p = task.lifter.apply(
+            p = task.lifter_eval.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
                 (hm + i * 1e-6).astype(_dtype(cfg)), train=False)
             return jnp.mean(p.astype(jnp.float32))
