@@ -63,3 +63,35 @@ class TestCalibrationCache:
         assert not np.allclose(o1.invpol, o2.invpol)
         # cached object identity on repeat access
         assert cache.get(str(tmp_path / "a"), "left") is o1
+
+
+class TestPackedAttention:
+    """Packed (B,S,H*Dh) attention == the head-split BHSD formulation."""
+
+    def test_fallback_matches_bhsd(self):
+        import jax
+        import jax.numpy as jnp
+        from egotap_tpu.ops.attention import (multihead_attention,
+                                              multihead_attention_packed)
+        k = jax.random.PRNGKey(0)
+        q, kk, v = (jax.random.normal(jax.random.fold_in(k, i), (2, 40, 512))
+                    for i in range(3))
+        out = multihead_attention_packed(q, kk, v, heads=8)
+        qh, kh, vh = (x.reshape(2, 40, 8, 64).transpose(0, 2, 1, 3)
+                      for x in (q, kk, v))
+        ref = multihead_attention(qh, kh, vh, use_pallas=False)
+        np.testing.assert_allclose(
+            np.asarray(out),
+            np.asarray(ref.transpose(0, 2, 1, 3).reshape(2, 40, 512)),
+            atol=2e-5)
+
+    def test_grad_finite(self):
+        import jax
+        import jax.numpy as jnp
+        from egotap_tpu.ops.attention import multihead_attention_packed
+        k = jax.random.PRNGKey(1)
+        q, kk, v = (jax.random.normal(jax.random.fold_in(k, i), (1, 16, 256))
+                    for i in range(3))
+        g = jax.grad(lambda q: jnp.sum(
+            multihead_attention_packed(q, kk, v, 2) ** 2))(q)
+        assert np.isfinite(np.asarray(g)).all()

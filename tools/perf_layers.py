@@ -26,13 +26,16 @@ DT = jnp.bfloat16
 def main():
     which = set(sys.argv[1:]) or {"backbone", "stem", "decoder", "head",
                                   "upsample", "vit", "fc", "pu"}
+    int8 = "int8" in which  # e.g. `perf_layers.py backbone decoder int8`
+    which.discard("int8")
     enable_compilation_cache()
     rng = jax.random.PRNGKey(0)
 
     if {"backbone", "stem", "decoder", "head"} & which:
         from egotap_tpu.models.heatmap_net import HeatmapUNet
         from egotap_tpu.models.resnet import ResNetEncoder
-        net = HeatmapUNet(num_output_maps=15, model_name="resnet18")
+        net = HeatmapUNet(num_output_maps=15, model_name="resnet18",
+                          quant=int8)
         rgb = jax.random.normal(rng, (B, 2, 256, 256, 3), DT)
         cpu = jax.local_devices(backend="cpu")[0]
         with jax.default_device(cpu):
@@ -41,7 +44,7 @@ def main():
         variables = jax.device_put(variables, jax.devices()[0])
 
         if "backbone" in which:
-            enc = ResNetEncoder("resnet18")
+            enc = ResNetEncoder("resnet18", quant=int8)
             bvars = {"params": variables["params"]["backbone"],
                      "batch_stats": variables["batch_stats"]["backbone"]}
             def f_bb(i, v, x):
