@@ -115,5 +115,17 @@ class QConv(nn.Module):
                           (self.features,), jnp.float32) \
             if self.use_bias else None
         pad = ((self.padding, self.padding),) * 2
+        if in_ch < 128:
+            # narrow contraction dims (stem's 3 RGB channels, the 64-wide
+            # layer1 blocks) lose more to quantize/dequantize overhead than
+            # the MXU gains (measured: int8 stem 0.59 ms vs bf16 0.44) —
+            # run them in the compute dtype with the same parameters
+            out = jax.lax.conv_general_dilated(
+                x, kernel.astype(x.dtype), (self.stride, self.stride), pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.groups)
+            if bias is not None:
+                out = out + bias.astype(out.dtype)
+            return out
         return quantized_conv(x, kernel, self.stride, pad,
                               self.groups, bias)
