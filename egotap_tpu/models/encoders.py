@@ -37,10 +37,11 @@ class GridViTEncoder(nn.Module):
                     name="vit")(x)
         # FC stack over flattened (B*N) rows — train-mode BN spans B*N rows
         # exactly like the reference (net_architecture.py:406-411)
+        q = self.quant
         z = z.reshape(b * n, -1)
-        z = FCBlock(2048, name="fc1")(z, train=train)
-        z = FCBlock(512, name="fc2")(z, train=train)
-        z = FCBlock(self.hidden_size, name="fc3")(z, train=train)
+        z = FCBlock(2048, quant=q, name="fc1")(z, train=train)
+        z = FCBlock(512, quant=q, name="fc2")(z, train=train)
+        z = FCBlock(self.hidden_size, quant=q, name="fc3")(z, train=train)
         return z.reshape(b, n * self.hidden_size)
 
 
@@ -113,12 +114,14 @@ class LimbFCEncoder(nn.Module):
     """
 
     hidden_size: int = 128
+    quant: bool = False   # int8 inference matmuls
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         b, m = x.shape[0], x.shape[1]
+        q = self.quant
         z = x.reshape(b * m, -1)
-        z = FCBlock(2048, name="fc1")(z, train=train)
-        z = FCBlock(512, name="fc2")(z, train=train)
-        z = FCBlock(self.hidden_size, name="fc3")(z, train=train)
+        z = FCBlock(2048, quant=q, name="fc1")(z, train=train)
+        z = FCBlock(512, quant=q, name="fc2")(z, train=train)
+        z = FCBlock(self.hidden_size, quant=q, name="fc3")(z, train=train)
         return z.reshape(b, m * self.hidden_size)

@@ -75,10 +75,15 @@ class FCBlock(nn.Module):
     features: int
     with_bn: bool = True
     with_relu: bool = True
+    quant: bool = False  # int8 inference matmul (ops/quant.py)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = nn.Dense(self.features, name="fc", dtype=x.dtype)(x)
+        if self.quant and not train:
+            from egotap_tpu.ops.quant import QDense
+            x = QDense(self.features, name="fc")(x)
+        else:
+            x = nn.Dense(self.features, name="fc", dtype=x.dtype)(x)
         if self.with_bn:
             x = nn.BatchNorm(
                 use_running_average=not train,

@@ -89,7 +89,8 @@ class EgoTAPLifter(nn.Module):
             vit_layers=self.vit_layers, heatmap_size=res,
             quant=self.quant,
             name="pos_encoder")(pos_patches, train=train)  # (B, V*J*hid)
-        rot_embed = LimbFCEncoder(hidden_size=hid, name="rot_encoder")(
+        rot_embed = LimbFCEncoder(hidden_size=hid, quant=self.quant,
+                                  name="rot_encoder")(
             rot_rows, train=train)               # (B, V*Jr*hid)
 
         # --- regroup view-major -> per-joint [view0, view1] blocks
