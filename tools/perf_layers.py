@@ -1,7 +1,7 @@
 """Layer-level micro-benchmarks of the eval step's building blocks.
 
 Usage: python tools/perf_layers.py [name ...]
-Names: backbone stem decoder head upsample vit fc pu
+Names: backbone stem decoder head upsample vit fc pu stages
 
 Isolates where the heatmap nets lose MFU (stem? layer1? decoder convs?
 upsample? the narrow output head?) and what the lifter's time splits into.
@@ -122,6 +122,9 @@ def main():
                             .astype(jnp.float32))
         timed_scan(f_fc, fv, x, label="limbfc")
 
+    if "stages" in which:
+        bench_stages(int8)
+
     if "pu" in which:
         from egotap_tpu.models.cells import PUChain
         pu = PUChain(input_size=256, bridge_size=256, hidden_size=512)
@@ -136,6 +139,37 @@ def main():
             return jnp.mean(pu.apply(v, x + i * 1e-6, b)
                             .astype(jnp.float32))
         timed_scan(f_pu, pv, xs, br, label="pu_scan")
+
+
+def bench_stages(int8: bool):
+    """Per-resnet-stage timings (both views of one net, B=32)."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+    from egotap_tpu.models.resnet import BasicBlock
+    rng = jax.random.PRNGKey(0)
+    cpu = jax.local_devices(backend="cpu")[0]
+    # (input hw, in_ch, width, blocks, stride of first block)
+    stages = [("layer1", 64, 64, 64, 2, 1), ("layer2", 64, 64, 128, 2, 2),
+              ("layer3", 32, 128, 256, 2, 2), ("layer4", 16, 256, 512, 2, 2)]
+    for name, hw, cin, width, depth, s0 in stages:
+        class Stage(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                for bi in range(depth):
+                    stride = s0 if bi == 0 else 1
+                    ds = (stride != 1) or (x.shape[-1] != width)
+                    x = BasicBlock(width, stride=stride, downsample=ds,
+                                   quant=int8, name=f"b{bi}")(x, train=False)
+                return x
+        m = Stage()
+        x = jax.random.normal(rng, (B * 2, hw, hw, cin), DT)
+        with jax.default_device(cpu):
+            v = m.init(jax.random.PRNGKey(1), jnp.zeros((1, hw, hw, cin)))
+        v = jax.device_put(v, jax.devices()[0])
+        def f(i, v, x):
+            return jnp.mean(m.apply(v, x + i * 1e-6).astype(jnp.float32))
+        timed_scan(f, v, x, label=f"{name}{'i8' if int8 else ''}(2v)")
 
 
 if __name__ == "__main__":
