@@ -288,16 +288,37 @@ def make_host_sharded_loader(cfg: Config, mode: str,
     local_bs = cfg.batch_size // host_count
 
     train = mode == "train"
+
+    def shard_plan(n):
+        indices = np.arange(n)[host_index::host_count]
+        if train:
+            # drop_last over the smallest shard: all hosts see full batches
+            num_batches = (n // host_count) // local_bs
+        else:
+            # cover the largest shard; smaller shards pad (mask handles it)
+            largest = (n + host_count - 1) // host_count
+            num_batches = (largest + local_bs - 1) // local_bs
+        return indices, num_batches
+
+    # packed native-record fast path per shard (same preference order as
+    # make_loader — the single host CPU core must not fall back to the
+    # per-frame npy loader just because the run is multi-host)
+    try:
+        from egotap_tpu.native import recordio
+        packed = recordio.packed_path(cfg, mode)
+    except Exception:
+        packed = None
+    if packed and os.path.exists(packed) and category_id is None:
+        from egotap_tpu.native.recordio import RecordReader
+        reader = RecordReader(packed, num_threads=cfg.num_threads)
+        indices, num_batches = shard_plan(reader.num_records)
+        return PackedBatchLoader(reader, local_bs, shuffle=train,
+                                 drop_last=train, indices=indices,
+                                 seed=cfg.seed + host_index,
+                                 num_batches=num_batches)
+
     ds = FrameDataset(cfg, mode, category_id)
-    n = len(ds)
-    indices = np.arange(n)[host_index::host_count]
-    if train:
-        # drop_last over the smallest shard so all hosts see full batches
-        num_batches = (n // host_count) // local_bs
-    else:
-        # cover the largest shard; smaller shards pad (mask handles it)
-        largest = (n + host_count - 1) // host_count
-        num_batches = (largest + local_bs - 1) // local_bs
+    indices, num_batches = shard_plan(len(ds))
     return BatchLoader(ds, local_bs, shuffle=train, drop_last=train,
                        num_threads=cfg.num_threads,
                        seed=cfg.seed + host_index,

@@ -61,9 +61,13 @@ def evaluate(cfg: Config, task, state, mode: str = "test",
             break
         paths = batch.pop("paths")
         mask = batch["mask"]
-        feed = pre({k: jnp.asarray(v) for k, v in batch.items()})
-        if shard is not None:
-            feed = shard(feed)
+        # shard the HOST batch first, then run the jitted preprocess on the
+        # sharded arrays: target synthesis parallelizes over the data mesh
+        # and multi-host assembly (make_global_batch) sees host numpy
+        # instead of round-tripping device arrays
+        feed = batch if shard is None else shard(batch)
+        feed = pre({k: jnp.asarray(v) if shard is None else v
+                    for k, v in feed.items()})
         t0 = time.perf_counter()
         out = task.eval_step(state, feed)
         out = jax.block_until_ready(out)
@@ -79,11 +83,12 @@ def evaluate(cfg: Config, task, state, mode: str = "test",
             input_paths.extend(paths)
 
     for metrics, mask, poses in pending:
-        acc.update({k: np.asarray(v) for k, v in metrics.items()}, mask=mask)
+        acc.update({k: _local_rows(v) for k, v in metrics.items()},
+                   mask=mask)
         if poses is not None and poses[0] is not None:
             keep = np.asarray(mask).astype(bool)
-            pred_poses.append(np.asarray(poses[0])[keep])
-            gt_poses.append(np.asarray(poses[1])[keep])
+            pred_poses.append(_local_rows(poses[0])[keep])
+            gt_poses.append(_local_rows(poses[1])[keep])
 
     if save_result and pred_poses:
         save_path = cfg.results_dir
@@ -98,7 +103,32 @@ def evaluate(cfg: Config, task, state, mode: str = "test",
             pickle.dump(np.asarray(input_paths).reshape(-1, 1), f)
 
     pairs_per_sec = n_samples / elapsed if elapsed > 0 else 0.0
-    return acc.means(), acc.per_sample, pairs_per_sec
+    means = acc.means()
+    if jax.process_count() > 1:
+        # each host accumulated only its shard's rows; reduce the means
+        # (weighted by local counts) across hosts so every process reports
+        # the global metric values
+        from jax.experimental import multihost_utils
+        local = np.asarray(
+            [[means.get(k, 0.0) * acc.count, acc.count] for k in means]
+            or [[0.0, 0]], dtype=np.float64)
+        allhosts = multihost_utils.process_allgather(local)
+        totals = allhosts.sum(axis=0)
+        means = {k: float(totals[i, 0] / max(totals[i, 1], 1))
+                 for i, k in enumerate(means)}
+    return means, acc.per_sample, pairs_per_sec
+
+
+def _local_rows(v) -> np.ndarray:
+    """This process's rows of a batch-major array, in loader order — the
+    identity for single-host arrays; for multi-host global arrays, the
+    addressable shards concatenated by global row offset (exactly the rows
+    this host's sharded loader produced, so local masks stay aligned)."""
+    if isinstance(v, jax.Array) and not v.is_fully_addressable:
+        shards = sorted(v.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    return np.asarray(v)
 
 
 def write_detail_result(path: str, stats: Dict[str, list]) -> None:

@@ -23,9 +23,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    # keep q/k/v in their storage dtype: a bf16 x bf16 MXU dot with f32
-    # accumulation is bitwise the same as upcasting first (bf16 values are
-    # exact in f32) and runs at full bf16 rate instead of the f32 rate
+    # keep q/k/v in their storage dtype. For the scores dot this is exact:
+    # bf16 x bf16 with f32 accumulation == upcast-then-f32-dot (bf16 values
+    # are exact in f32), at full bf16 MXU rate. The p@v dot additionally
+    # rounds the softmax probabilities to the storage dtype first — a
+    # deliberate, bounded numerics change on the bf16 path (f32 inputs are
+    # unaffected), covered by the 1e-3 pallas-vs-jnp gate in check_tpu.
     q = q_ref[0]                              # (S, D)
     k = k_ref[0]
     v = v_ref[0]

@@ -31,26 +31,31 @@ from egotap_tpu.models.lifter import EgoTAPLifter
 class Predictor:
     def __init__(self, cfg: Config, heatmap_vars: Dict,
                  rot_heatmap_vars: Dict, lifter_vars: Dict,
-                 bf16: bool = True, int8: bool = False):
+                 bf16: bool = True, int8: Optional[bool] = None):
+        """int8: quantized inference convs/matmuls (ops/quant.py, same
+        variables); None defers to cfg.int8_{heatmap,lifter}_inference."""
         cfg = cfg.derive() if not hasattr(cfg, "estimate_head") else cfg
         self.cfg = cfg
         self.bf16 = bf16
+        int8_hm = cfg.int8_heatmap_inference if int8 is None else int8
+        int8_lift = cfg.int8_lifter_inference if int8 is None else int8
         sk = get_skeleton(cfg.joint_preset)
-        # int8: quantized-conv heatmap nets (ops/quant.py), same variables
         self.pos_net = HeatmapUNet(num_output_maps=cfg.num_heatmap,
                                    model_name=cfg.model_name,
-                                   views=cfg.views, quant=int8)
+                                   views=cfg.views, quant=int8_hm)
         self.rot_net = HeatmapUNet(
             num_output_maps=cfg.num_rot_heatmap * cfg.limb_dim,
-            model_name=cfg.model_name, views=cfg.views, quant=int8)
+            model_name=cfg.model_name, views=cfg.views, quant=int8_hm)
         self.lifter = EgoTAPLifter(
             num_heatmap=cfg.num_heatmap, num_joints=cfg.num_joints_out,
+            num_rot_heatmap=cfg.num_rot_heatmap,
             views=cfg.views, limb_dim=cfg.limb_dim,
             hidden_size=cfg.ae_hidden_size, skel_layer=cfg.skel_layer,
             num_pu_layers=cfg.n_skel_layers,
             use_global_offset=(cfg.joint_preset == "UnrealEgo"
                                and cfg.estimate_head),
-            parents=sk.parents)
+            pu_semantics=cfg.pu_semantics,
+            parents=sk.parents, quant=int8_lift)
         self._vars = (heatmap_vars, rot_heatmap_vars, lifter_vars)
         self._fn = jax.jit(self._forward)
 

@@ -85,11 +85,30 @@ def test_model(cfg: Config, task, state, writer=None) -> Dict[str, float]:
     return metrics
 
 
+class _NullWriter:
+    """Metric-writer stand-in for non-main hosts (multi-host runs)."""
+
+    def scalar(self, *a, **k):
+        pass
+
+    def scalars(self, *a, **k):
+        pass
+
+    def close(self):
+        pass
+
+
+class _NullFile:
+    def write(self, *_):
+        pass
+
+
 def train_main(cfg: Config) -> bool:
     """One training attempt. Returns True when finished; False requests a
     from-scratch restart (reference auto-restart protocol)."""
     os.makedirs(cfg.experiment_dir, exist_ok=True)
-    cfg.save(os.path.join(cfg.experiment_dir, "train_opt.txt"))
+    if jax.process_index() == 0:
+        cfg.save(os.path.join(cfg.experiment_dir, "train_opt.txt"))
 
     print("preparing dataset ...")
     train_loader = make_loader(cfg, "train")
@@ -114,13 +133,22 @@ def train_main(cfg: Config) -> bool:
     if mesh is not None:
         print(f"data-parallel training over {mesh.shape['data']} devices")
 
+    # multi-host: exactly one process owns the shared filesystem artifacts
+    # (summaries, checkpoints, result files) — concurrent writers would
+    # race on the same paths
+    main_host = jax.process_index() == 0
     writer = MetricWriter(os.path.join(cfg.experiment_dir, "summary"),
-                          clear=(cfg.epoch_count == 1))
+                          clear=(cfg.epoch_count == 1)) if main_host \
+        else _NullWriter()
+
+    def save_ckpt(tag):
+        if main_host:
+            state_lib.save_checkpoint(cfg.experiment_dir, tag, state)
 
     # dataset provenance copy (reference record_dataset_information,
     # train.py:36-47)
     prov = os.path.join(cfg.data_dir, "modify_dataset_log.txt")
-    if os.path.exists(prov):
+    if main_host and os.path.exists(prov):
         import shutil
         ds_dir = os.path.join(cfg.experiment_dir, "dataset")
         os.makedirs(ds_dir, exist_ok=True)
@@ -161,8 +189,7 @@ def train_main(cfg: Config) -> bool:
                     if math.isnan(v) or math.isinf(v):
                         tag = "nan" if math.isnan(v) else "inf"
                         print(f"{k} loss is {tag.upper()}!")
-                        state_lib.save_checkpoint(cfg.experiment_dir, tag,
-                                                  state)
+                        save_ckpt(tag)
                         if epoch > 1:
                             restart_epoch = True
                         else:
@@ -183,7 +210,11 @@ def train_main(cfg: Config) -> bool:
             if cfg.profile_dir and epoch == cfg.epoch_count and i == 2:
                 jax.profiler.start_trace(cfg.profile_dir)
                 profiling = True
-            feed = shard(pre({k: jnp.asarray(v) for k, v in batch.items()}))
+            # shard the HOST batch, then preprocess on the sharded arrays:
+            # target synthesis parallelizes over the mesh, and multi-host
+            # assembly never round-trips device arrays through the host
+            feed = pre(shard(batch) if mesh is not None else
+                       {k: jnp.asarray(v) for k, v in batch.items()})
             with step_annotation("train", (epoch - 1) * iters_per_epoch + i):
                 state, losses = task.train_step(state, feed)
             if profiling and i >= 2 + cfg.profile_steps:
@@ -221,7 +252,7 @@ def train_main(cfg: Config) -> bool:
             if metrics and metrics[task.eval_key] < best_metric:
                 best_metric = metrics[task.eval_key]
                 best_metrics = metrics
-                state_lib.save_checkpoint(cfg.experiment_dir, "best", state)
+                save_ckpt("best")
 
         if epoch % cfg.print_epoch_freq == 0:
             means = {k: float(np.mean(v)) for k, v in epoch_losses.items()}
@@ -230,7 +261,7 @@ def train_main(cfg: Config) -> bool:
                   + " ".join(f"{k}: {v:.3e}" for k, v in means.items()))
 
         if epoch % cfg.save_epoch_freq == 0:
-            state_lib.save_checkpoint(cfg.experiment_dir, epoch, state)
+            save_ckpt(epoch)
 
         total_itr += iters_per_epoch
         print(f"dir name: {cfg.experiment_name}")
@@ -244,8 +275,10 @@ def train_main(cfg: Config) -> bool:
         state = state_lib.load_checkpoint(cfg.experiment_dir, "best", state)
     metrics_test = test_model(cfg, task, state)
 
+    import contextlib
     result_path = os.path.join(cfg.experiment_dir, "test_result.txt")
-    with open(result_path, "w") as f:
+    with (open(result_path, "w") if main_host
+          else contextlib.nullcontext(_NullFile())) as f:
         for k, v in metrics_test.items():
             f.write(f"{k}: {v:.4e}")
         f.write("\n")

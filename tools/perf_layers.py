@@ -2,6 +2,7 @@
 
 Usage: python tools/perf_layers.py [name ...]
 Names: backbone stem decoder head upsample vit fc pu stages
+(no-arg runs all EXCEPT `stages`; add `int8` to quantize the conv paths)
 
 Isolates where the heatmap nets lose MFU (stem? layer1? decoder convs?
 upsample? the narrow output head?) and what the lifter's time splits into.
