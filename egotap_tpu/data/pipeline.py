@@ -34,8 +34,22 @@ from egotap_tpu.data import device_render as dr
 from egotap_tpu.data.dataset import FrameDataset
 
 
+_PREPROCESS_CACHE: Dict[tuple, object] = {}
+
+
 def make_device_preprocess(cfg: Config):
-    """Build the jitted batch -> model-feed transform for a config."""
+    """Build the jitted batch -> model-feed transform for a config.
+
+    Cached on the fields the transform closes over: the test CLI calls
+    this once per motion category (30+ times) and a fresh closure would
+    re-trace each time — through the CI relay that dominates the
+    category-evaluation loop."""
+    key = (cfg.joint_preset, cfg.heatmap_res, cfg.image_size,
+           cfg.num_heatmap, cfg.num_rot_heatmap, cfg.limb_dim,
+           cfg.heatmap_type, cfg.estimate_head)
+    cached = _PREPROCESS_CACHE.get(key)
+    if cached is not None:
+        return cached
     sk = get_skeleton(cfg.joint_preset)
     parents = sk.parents
     res = cfg.heatmap_res
@@ -93,6 +107,7 @@ def make_device_preprocess(cfg: Config):
         out["mask"] = batch["mask"]
         return out
 
+    _PREPROCESS_CACHE[key] = preprocess
     return preprocess
 
 
