@@ -127,3 +127,21 @@ class TestDevicePreprocess:
         # EgoCap: root not estimated -> pose rows exclude joint 0
         assert out["gt_local_pose"].shape == (2, 17, 3)
         assert out["gt_heatmap_left"].shape == (2, 64, 64, 17)
+
+
+class TestPreprocessCache:
+    def test_same_signature_reuses_jitted_fn(self, tmp_path):
+        from egotap_tpu.data.pipeline import make_device_preprocess
+        from egotap_tpu.data.synthetic import synthetic_config
+        import dataclasses
+        cfg = synthetic_config(str(tmp_path / "a"), "UnrealEgo",
+                               num_heatmap=15, num_rot_heatmap=15,
+                               heatmap_type="sin",
+                               load_size_heatmap=(16, 16))
+        # a config copy with identical preprocess-relevant fields (the
+        # category-eval loop's situation) must hit the cache...
+        same = dataclasses.replace(cfg, batch_size=7).derive()
+        assert make_device_preprocess(cfg) is make_device_preprocess(same)
+        # ...while changing a closed-over field must miss it
+        other = dataclasses.replace(cfg, num_rot_heatmap=10).derive()
+        assert make_device_preprocess(other) is not make_device_preprocess(cfg)
