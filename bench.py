@@ -63,6 +63,7 @@ def main() -> None:
     with jax.default_device(cpu):
         state = task.init_state(jax.random.PRNGKey(0), iters_per_epoch=1)
     state = jax.device_put(state, jax.devices()[0])
+    state = task.prepare_inference(state)  # pre-quantized int8 weights
 
     rgb = jax.random.normal(
         jax.random.PRNGKey(1),

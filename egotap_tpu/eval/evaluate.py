@@ -50,6 +50,8 @@ def evaluate(cfg: Config, task, state, mode: str = "test",
     from egotap_tpu.parallel.mesh import data_parallel_setup
     mesh, state, shard_fn = data_parallel_setup(cfg, state)
     shard = shard_fn if mesh is not None else None
+    if hasattr(task, "prepare_inference"):
+        state = task.prepare_inference(state)  # pre-quantized int8 weights
 
     pred_poses, gt_poses, input_paths = [], [], []
     pending = []  # (device metrics, mask, device poses) — read back at end

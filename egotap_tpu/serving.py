@@ -56,6 +56,13 @@ class Predictor:
                                and cfg.estimate_head),
             pu_semantics=cfg.pu_semantics,
             parents=sk.parents, quant=int8_lift)
+        if int8_hm:
+            # pre-quantized weights (per-step rounding off the hot path)
+            from egotap_tpu.ops.quant import quantize_conv_tree
+            heatmap_vars = {**heatmap_vars, "qparams":
+                            quantize_conv_tree(heatmap_vars["params"])}
+            rot_heatmap_vars = {**rot_heatmap_vars, "qparams":
+                                quantize_conv_tree(rot_heatmap_vars["params"])}
         self._vars = (heatmap_vars, rot_heatmap_vars, lifter_vars)
         self._fn = jax.jit(self._forward)
 

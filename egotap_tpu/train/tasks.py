@@ -257,6 +257,22 @@ class LifterTask:
             frozen={"heatmap": hv, "rot_heatmap": rv},
         )
 
+    def prepare_inference(self, state: TrainState) -> TrainState:
+        """Return a state augmented with pre-quantized frozen-net weights
+        ('{key}_q' entries consumed by the int8 eval path) — per-step
+        weight rounding costs ~0.3 ms per large conv on v5e. Call once
+        before an eval session; do NOT checkpoint the result (the train
+        loop and checkpoints keep the raw frozen tree)."""
+        if not self.cfg.int8_heatmap_inference:
+            return state
+        from egotap_tpu.ops.quant import quantize_conv_tree
+        frozen = dict(state.frozen)
+        for key in ("heatmap", "rot_heatmap"):
+            if key in frozen and f"{key}_q" not in frozen:
+                frozen[f"{key}_q"] = quantize_conv_tree(
+                    frozen[key]["params"])
+        return state.replace(frozen=frozen)
+
     def _forward_heatmaps(self, frozen, batch, train: bool):
         """Frozen stage-1 forward -> concatenated heatmap stack
         (reference forward_heatmap, egotap_autoencoder_model.py:177-216)."""
@@ -283,6 +299,9 @@ class LifterTask:
                                      mutable=["batch_stats"])
                 new_frozen[key] = {"params": fv["params"],
                                    "batch_stats": upd["batch_stats"]}
+            elif f"{key}_q" in frozen:
+                out = eval_net.apply(
+                    {**fv, "qparams": frozen[f"{key}_q"]}, rgb, train=False)
             else:
                 out = eval_net.apply(fv, rgb, train=False)
             outs.append(out)  # compute dtype (bf16 under amp) end-to-end:

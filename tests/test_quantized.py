@@ -109,3 +109,47 @@ class TestQuantizedLifter:
         q_v = EgoTAPLifter(quant=True, **kw).init(jax.random.PRNGKey(0), x)
         assert jax.tree_util.tree_structure(fp_v) == \
             jax.tree_util.tree_structure(q_v)
+
+
+class TestStaticWeightQuant:
+    def test_qparams_path_bitwise_equals_dynamic(self):
+        """Pre-quantized weights (quantize_conv_tree) must reproduce the
+        dynamic path exactly — same rounding, just hoisted off the step."""
+        from egotap_tpu.ops.quant import quantize_conv_tree
+        q = HeatmapUNet(num_output_maps=15, model_name="resnet18",
+                        quant=True)
+        rgb = jax.random.normal(jax.random.PRNGKey(0), (2, 2, 64, 64, 3))
+        variables = dict(q.init(jax.random.PRNGKey(1), rgb, train=False))
+        dyn = q.apply(variables, rgb, train=False)
+        qtree = quantize_conv_tree(variables["params"])
+        static = q.apply({**variables, "qparams": qtree}, rgb, train=False)
+        # identical math; a few-ulp tolerance absorbs eager-vs-jit
+        # reduction ordering in the scale computation
+        np.testing.assert_allclose(np.asarray(dyn), np.asarray(static),
+                                   atol=1e-5)
+        assert jax.tree_util.tree_leaves(qtree), "no conv was pre-quantized"
+
+    def test_prepare_inference_roundtrip(self, tmp_path):
+        from egotap_tpu.data.synthetic import synthetic_config
+        from egotap_tpu.train.tasks import LifterTask
+        cfg = synthetic_config(
+            str(tmp_path / "d"), "UnrealEgo", model="egotap_autoencoder",
+            num_heatmap=15, num_rot_heatmap=15, heatmap_type="sin",
+            skel_layer="PU", ae_hidden_size=32, patched_heatmap_ae=True,
+            load_size_heatmap=(16, 16), batch_size=2, niter=1, niter_decay=1,
+            int8_heatmap_inference=True)
+        task = LifterTask(cfg)
+        state = task.init_state(jax.random.PRNGKey(0), iters_per_epoch=1)
+        batch = {
+            "input_rgb": jax.random.normal(jax.random.PRNGKey(2),
+                                           (2, 2, 64, 64, 3)),
+            "gt_local_pose": jnp.zeros((2, 16, 3)),
+        }
+        base = np.asarray(task.eval_step(state, batch)["pred_pose"])
+        prepped = task.prepare_inference(state)
+        assert "heatmap_q" in prepped.frozen and "heatmap_q" not in state.frozen
+        got = np.asarray(task.eval_step(prepped, batch)["pred_pose"])
+        np.testing.assert_allclose(base, got, atol=1e-4)  # cm; ulp-level
+        # idempotent
+        again = task.prepare_inference(prepped)
+        assert again.frozen["heatmap_q"] is prepped.frozen["heatmap_q"]

@@ -110,6 +110,7 @@ def main():
         state = jax.device_put(state, jax.devices()[0])
     except RuntimeError:
         state = task.init_state(jax.random.PRNGKey(0), iters_per_epoch=1)
+    state = task.prepare_inference(state)
     rgb = jax.random.normal(jax.random.PRNGKey(1),
                             (BATCH, 2, 256, 256, 3), jnp.float32)
     gt = jax.random.normal(jax.random.PRNGKey(2), (BATCH, 16, 3))
