@@ -89,3 +89,64 @@ def test_from_orbax(tmp_path, rng):
     rgb = rng.normal(size=(2, 2, 64, 64, 3)).astype(np.float32)
     poses = pred(rgb)
     assert poses.shape == (2, 16, 3)
+
+
+@pytest.mark.slow
+class TestPredictorConfigs:
+    def test_int8_mode(self, rng):
+        """int8=True quantizes stage-1 convs + lifter matmuls; same
+        variables, bounded deviation vs the bf16 predictor."""
+        import jax
+        import jax.numpy as jnp
+        from egotap_tpu.core.config import Config
+        cfg = Config(joint_preset="UnrealEgo", model="egotap_autoencoder",
+                     num_heatmap=15, num_rot_heatmap=15, heatmap_type="sin",
+                     skel_layer="PU", ae_hidden_size=32,
+                     patched_heatmap_ae=True).derive()
+        from egotap_tpu.models.heatmap_net import HeatmapUNet
+        from egotap_tpu.models.lifter import EgoTAPLifter
+        rgbz = jnp.zeros((1, 2, 256, 256, 3))
+        hv = dict(HeatmapUNet(num_output_maps=15).init(
+            jax.random.PRNGKey(0), rgbz, train=False))
+        rv = dict(HeatmapUNet(num_output_maps=30).init(
+            jax.random.PRNGKey(1), rgbz, train=False))
+        lv = dict(EgoTAPLifter(num_heatmap=15, num_joints=16,
+                               hidden_size=32).init(
+            jax.random.PRNGKey(2), jnp.zeros((1, 64, 64, 90))))
+        p_fp = Predictor(cfg, dict(hv), dict(rv), dict(lv), bf16=True,
+                         int8=False)
+        p_q = Predictor(cfg, dict(hv), dict(rv), dict(lv), bf16=True,
+                        int8=True)
+        assert "qparams" in p_q._vars[0]  # pre-quantized weights attached
+        rgb = rng.normal(size=(1, 2, 256, 256, 3)).astype(np.float32)
+        a, b = p_fp(rgb), p_q(rgb)
+        assert np.isfinite(b).all()
+        scale = max(float(np.abs(a).max()), 1.0)
+        assert float(np.abs(a - b).max()) < 0.1 * scale
+
+    def test_unequal_counts(self, rng):
+        """nh != nr serving config builds and runs (review regression)."""
+        import jax
+        import jax.numpy as jnp
+        from egotap_tpu.core.config import Config
+        from egotap_tpu.models.heatmap_net import HeatmapUNet
+        from egotap_tpu.models.lifter import EgoTAPLifter
+        from egotap_tpu.core.skeleton import get_skeleton
+        cfg = Config(joint_preset="UnrealEgo", model="egotap_autoencoder",
+                     num_heatmap=15, num_rot_heatmap=10, heatmap_type="sin",
+                     skel_layer="PU", ae_hidden_size=32,
+                     patched_heatmap_ae=True).derive()
+        rgbz = jnp.zeros((1, 2, 256, 256, 3))
+        hv = dict(HeatmapUNet(num_output_maps=15).init(
+            jax.random.PRNGKey(0), rgbz, train=False))
+        rv = dict(HeatmapUNet(num_output_maps=20).init(
+            jax.random.PRNGKey(1), rgbz, train=False))
+        sk = get_skeleton("UnrealEgo")
+        lv = dict(EgoTAPLifter(num_heatmap=15, num_rot_heatmap=10,
+                               num_joints=16, hidden_size=32,
+                               parents=sk.parents).init(
+            jax.random.PRNGKey(2), jnp.zeros((1, 64, 64, 70))))
+        pred = Predictor(cfg, hv, rv, lv, bf16=False)
+        rgb = rng.normal(size=(1, 2, 256, 256, 3)).astype(np.float32)
+        out = pred(rgb)
+        assert out.shape == (1, 16, 3) and np.isfinite(out).all()
