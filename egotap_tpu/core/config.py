@@ -64,13 +64,21 @@ class Config:
     epoch_count: int = 1
     niter: int = 0
     niter_decay: int = 0
-    optimizer_type: str = "Adam"           # Adam | AdamW | SGD | DAdam | Prodigy
+    optimizer_type: str = "Adam"           # Adam | AdamW | SGD | DAdam | DSGD | DAdaGrad | Prodigy
     lr_policy: str = "lambda"              # lambda | step | exponent | cos_anneal | cos_anneal_warmup
     lr_decay_iters_step: int = 4
     lr: float = 1e-3
     weight_decay: float = 0.0
     opt_eps: float = 1e-4
     d_coef: float = 1.0                    # Prodigy d estimate coefficient
+    # D-Adaptation knobs (reference options/train_options.py:33-40):
+    # growth_rate caps d's per-step growth factor (inf = uncapped);
+    # decouple selects AdamW-style weight decay for DAdam. NOTE: DAdam maps
+    # to optax.contrib.dadapt_adamw which is ALWAYS decoupled — a DAdam
+    # config with weight_decay > 0 and decouple=False diverges from the
+    # reference's coupled default (make_optimizer warns).
+    growth_rate: float = float("inf")
+    decouple: bool = False
     lambda_mpjpe: float = 1.0
     lambda_heatmap: float = 1.0
     lambda_rot_heatmap: float = 1.0
@@ -162,36 +170,46 @@ class Config:
     @classmethod
     def from_args(cls, argv: Optional[List[str]] = None,
                   preset: Optional[str] = None) -> "Config":
-        base = dataclasses.asdict(cls(**PRESETS.get(preset, {})))
+        """defaults < preset (``--preset`` flag or the `preset` argument)
+        < explicitly passed flags. Unpassed flags use argparse.SUPPRESS
+        sentinels so an explicit flag that happens to equal the dataclass
+        default still overrides the preset value."""
+        import typing
+        defaults = dataclasses.asdict(cls())
+        hints = typing.get_type_hints(cls)
         parser = argparse.ArgumentParser()
         parser.add_argument("--preset", type=str, default=None)
-        for k, v in base.items():
+        for k, v in defaults.items():
             if isinstance(v, bool):
                 parser.add_argument(f"--{k}", type=lambda s: s.lower() in
-                                    ("1", "true", "yes"), default=v)
+                                    ("1", "true", "yes"),
+                                    default=argparse.SUPPRESS)
             elif isinstance(v, (tuple, list)):
                 parser.add_argument(f"--{k}", nargs="+",
-                                    type=type(v[0]) if v else str, default=v)
+                                    type=type(v[0]) if v else str,
+                                    default=argparse.SUPPRESS)
             elif v is None:
-                parser.add_argument(f"--{k}", type=str, default=None)
+                # Optional[T] fields: parse as T (watchdog iters are ints)
+                t = next((a for a in typing.get_args(hints.get(k))
+                          if a in (int, float)), str)
+                parser.add_argument(f"--{k}", type=t,
+                                    default=argparse.SUPPRESS)
             else:
-                parser.add_argument(f"--{k}", type=type(v), default=v)
+                parser.add_argument(f"--{k}", type=type(v),
+                                    default=argparse.SUPPRESS)
         args = vars(parser.parse_args(argv))
-        chosen = args.pop("preset", None)
+        chosen = args.pop("preset", None) or preset
+        merged = dict(defaults)
         if chosen:
             if chosen not in PRESETS:
                 parser.error(f"unknown preset {chosen!r}; available: "
                              + ", ".join(sorted(PRESETS)))
-            merged = dataclasses.asdict(cls(**PRESETS[chosen]))
-            defaults = dataclasses.asdict(cls())
-            for k, v in args.items():
-                if v != defaults.get(k) or k not in merged:
-                    merged[k] = v
-            args = merged
+            merged.update(PRESETS[chosen])
+        merged.update(args)
         for k in ("load_size_heatmap", "metadata_dir"):
-            if isinstance(args.get(k), list):
-                args[k] = tuple(args[k])
-        return cls(**args).derive()
+            if isinstance(merged.get(k), list):
+                merged[k] = tuple(merged[k])
+        return cls(**merged).derive()
 
 
 # Presets mirroring the shipped shell scripts (scripts/train, scripts/test).

@@ -222,6 +222,70 @@ def pseudo_limb_mask(pts2d: np.ndarray, limb_mask_indices,
     return (mask > 0).astype(np.float32)
 
 
+def sample_limb_heatmaps(camera_pose_2d: np.ndarray,
+                         camera_pose_depth: np.ndarray,
+                         parents: np.ndarray, res: int = 64,
+                         weight_depth: bool = False,
+                         depth_scale: float = 1.0,
+                         depth_offset: float = 0.0) -> np.ndarray:
+    """Per-limb AA line heatmaps with optional depth weighting
+    (reference utils/projection.py:291-335).
+
+    camera_pose_2d: (J, 2) joint pixel coordinates in 1024-space;
+    camera_pose_depth: (J,) camera-frame z per joint; parents: kinematic
+    parents. Returns (num_limbs, res, res) float32 where limb i connects
+    joint i+2 to its parent (the reference's assign_idx = joint_idx - 2
+    convention — joints 0/1 are treated as roots with no own limb map).
+
+    Depth weighting (weight_depth=True): each line pixel's AA value is
+    multiplied by the depth linearly interpolated between the two
+    endpoints (clamped to >= 0), then scaled/offset. Reference quirks
+    preserved:
+      * a degenerate (zero-length) limb uses min(parent, child) depth and
+        skips depth_scale/depth_offset (projection.py:318-325 applies
+        them only in the non-degenerate branch);
+      * the blur is scipy's default reflect-mode Gaussian (sigma=1), with
+        no peak normalization.
+
+    Documented divergence: the reference iterates joint_idx over
+    range(2, len(parents)+2) and indexes kinematic_parents[joint_idx],
+    which is out of bounds for both shipped presets (16/18-entry parent
+    lists) — the function raises IndexError upstream and is unreachable
+    from any shipped config. We bound the loop to the real joint count,
+    implementing the evident intent.
+    """
+    num_joints = len(parents)
+    num_limbs = num_joints - 2
+    out = np.zeros((num_limbs, res, res), dtype=np.float32)
+    divider = COORD_SPACE / res
+
+    for joint_idx in range(2, num_joints):
+        assign_idx = joint_idx - 2
+        parent_idx = parents[joint_idx]
+        p_coord = np.rint(camera_pose_2d[parent_idx] / divider).astype(int)
+        coord = np.rint(camera_pose_2d[joint_idx] / divider).astype(int)
+
+        hm = np.zeros((res, res), dtype=np.float32)
+        rr, cc, val = line_aa(p_coord[0], p_coord[1], coord[0], coord[1])
+
+        if weight_depth:
+            p_depth = max(0.0, float(camera_pose_depth[parent_idx]))
+            depth = max(0.0, float(camera_pose_depth[joint_idx]))
+            p_dist = np.sqrt((rr - p_coord[0]) ** 2 + (cc - p_coord[1]) ** 2)
+            dist = np.sqrt((rr - coord[0]) ** 2 + (cc - coord[1]) ** 2)
+            if np.any(np.isclose(p_dist + dist, 0.0)):
+                val = val * min(p_depth, depth)
+            else:
+                t = p_dist / (p_dist + dist)
+                val = val * ((1 - t) * p_depth + t * depth)
+                val = val * depth_scale + depth_offset
+
+        ok = (rr >= 0) & (rr <= res - 1) & (cc >= 0) & (cc <= res - 1)
+        hm[cc[ok], rr[ok]] = val[ok]
+        out[assign_idx] = gaussian_filter(hm, sigma=1)
+    return out
+
+
 def pose_image(camera_pose_2d: np.ndarray, parents: np.ndarray,
                res: int = 64) -> np.ndarray:
     """Full-skeleton line image (reference utils/projection.py:194-237,

@@ -103,9 +103,17 @@ class _NullFile:
         pass
 
 
-def train_main(cfg: Config) -> bool:
+def train_main(cfg: Config, epoch_callback=None) -> bool:
     """One training attempt. Returns True when finished; False requests a
-    from-scratch restart (reference auto-restart protocol)."""
+    from-scratch restart (reference auto-restart protocol).
+
+    epoch_callback: optional external-tuner hook (the surface the
+    reference's dormant Ray Tune integration reported through,
+    train.py:63-68, 102-103, 208-211). Called once per completed epoch —
+    and once on a NaN/Inf loss event with bad_loss=True — with a report
+    dict {epoch, train_losses, val_metrics, bad_loss, checkpoint_path};
+    a truthy return requests a clean early stop (training proceeds to the
+    final best-model test)."""
     os.makedirs(cfg.experiment_dir, exist_ok=True)
     if jax.process_index() == 0:
         cfg.save(os.path.join(cfg.experiment_dir, "train_opt.txt"))
@@ -170,6 +178,7 @@ def train_main(cfg: Config) -> bool:
         restart_epoch = False
         abort = None
         epoch_losses: Dict[str, list] = {}
+        val_metrics: Dict[str, float] = {}
         t0 = time.time()
 
         profiling = False
@@ -234,6 +243,15 @@ def train_main(cfg: Config) -> bool:
         if stall:
             writer.close()
             return False
+        if (restart_epoch or abort is not None) and epoch_callback \
+                is not None:
+            # the reference's Ray hook reports bad_loss to the tuner
+            # (train.py:102-103); a truthy return terminates the attempt
+            if epoch_callback({"epoch": epoch, "train_losses": {},
+                               "val_metrics": {}, "bad_loss": True,
+                               "checkpoint_path": None}):
+                writer.close()
+                return True
         if abort is not None:
             writer.close()
             return abort
@@ -249,6 +267,7 @@ def train_main(cfg: Config) -> bool:
             metrics, _, _ = evaluate(cfg, task, state, mode="validation")
             writer.scalars("Validation", metrics, epoch)
             print(" ".join(f"{k}: {v:.4E}" for k, v in metrics.items()))
+            val_metrics = metrics
             if metrics and metrics[task.eval_key] < best_metric:
                 best_metric = metrics[task.eval_key]
                 best_metrics = metrics
@@ -265,6 +284,21 @@ def train_main(cfg: Config) -> bool:
 
         total_itr += iters_per_epoch
         print(f"dir name: {cfg.experiment_name}")
+        if epoch_callback is not None:
+            # per-epoch tuner report (metrics + checkpoint path, reference
+            # train.py:208-211); truthy return = clean early stop — fall
+            # through to the final best-model test below
+            ckpt = os.path.join(cfg.experiment_dir, f"ckpt_{epoch}")
+            if epoch_callback({
+                    "epoch": epoch,
+                    "train_losses": {k: float(np.mean(v))
+                                     for k, v in epoch_losses.items()},
+                    "val_metrics": val_metrics, "bad_loss": False,
+                    "checkpoint_path": ckpt if os.path.isdir(ckpt)
+                    else None}):
+                print(f"external tuner requested stop after epoch {epoch}")
+                epoch += 1
+                break
         epoch += 1
 
     print("\ntrain finished !!!")
@@ -296,8 +330,8 @@ def train_main(cfg: Config) -> bool:
     return True
 
 
-def run_training(cfg: Config) -> None:
+def run_training(cfg: Config, epoch_callback=None) -> None:
     """Auto-restart wrapper (reference train.py:282-287)."""
     while True:
-        if train_main(cfg):
+        if train_main(cfg, epoch_callback=epoch_callback):
             break

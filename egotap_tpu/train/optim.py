@@ -5,8 +5,9 @@ Reference: model/network.py:35-118.
     semantics) and the reference's eps=1e-4 default.
   * AdamW decoupled weight decay.
   * Learned-LR optimizers DAdam (D-Adaptation, decoupled variant) and
-    Prodigy via optax.contrib (reference model/network.py:79-116 uses the
-    dadaptation / prodigyopt packages with lr=1.0 under the schedule).
+    Prodigy via optax.contrib, plus native DSGD / DAdaGrad implementations
+    (reference model/network.py:79-116 uses the dadaptation / prodigyopt
+    packages with lr=1.0 under the schedule).
   * Schedules: 'lambda' linear decay stepped per epoch, 'step', 'exponent',
     'cos_anneal' per-iteration, and 'cos_anneal_warmup' (HF
     get_cosine_schedule_with_warmup: linear warmup over niter epochs of
@@ -15,7 +16,7 @@ Reference: model/network.py:35-118.
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -89,10 +90,26 @@ def make_optimizer(cfg: Config, iters_per_epoch: int) -> optax.GradientTransform
     if cfg.optimizer_type == "DAdam":
         # the reference's recommended configuration passes --decouple
         # (AdamW-style decay), which is the variant optax.contrib ships
+        if cfg.weight_decay and not cfg.decouple:
+            import warnings
+            warnings.warn(
+                "DAdam maps to optax.contrib.dadapt_adamw (decoupled "
+                "weight decay); the reference's default --decouple=False "
+                "coupled variant is not available — decay semantics "
+                "diverge for weight_decay > 0", stacklevel=2)
         from optax.contrib import dadapt_adamw
         return _with_extra_args(dadapt_adamw(
             learning_rate=_relative(sched, cfg.lr), eps=cfg.opt_eps,
             weight_decay=cfg.weight_decay))
+    if cfg.optimizer_type == "DSGD":
+        return dadapt_sgd(learning_rate=_relative(sched, cfg.lr),
+                          weight_decay=cfg.weight_decay,
+                          growth_rate=cfg.growth_rate)
+    if cfg.optimizer_type == "DAdaGrad":
+        return dadapt_adagrad(learning_rate=_relative(sched, cfg.lr),
+                              eps=cfg.opt_eps,
+                              weight_decay=cfg.weight_decay,
+                              growth_rate=cfg.growth_rate)
     if cfg.optimizer_type == "Prodigy":
         from optax.contrib import prodigy
         return _with_extra_args(prodigy(
@@ -100,6 +117,132 @@ def make_optimizer(cfg: Config, iters_per_epoch: int) -> optax.GradientTransform
             estim_lr_coef=cfg.d_coef, weight_decay=cfg.weight_decay,
             safeguard_warmup=True))  # network.py:116
     raise NotImplementedError(f"optimizer {cfg.optimizer_type}")
+
+
+class DAdaptSGDState(NamedTuple):
+    d: jnp.ndarray            # current distance estimate
+    step: jnp.ndarray
+    g0_norm: jnp.ndarray      # ||g_0|| normalizer (units: gradient)
+    s: optax.Updates          # sum of lambda_k * g_k
+    grad_sum_sq: jnp.ndarray  # sum of lambda_k^2 ||g_k||^2
+
+
+def dadapt_sgd(learning_rate: Callable, weight_decay: float = 0.0,
+               growth_rate: float = float("inf"), d0: float = 1e-6
+               ) -> optax.GradientTransformation:
+    """SGD with D-Adaptation (Defazio & Mishchenko, ICML 2023, Alg. 1) —
+    the reference reaches it via the `dadaptation` package
+    (model/network.py:95-102). Learned step size:
+
+        lambda_k = d_k * gamma_k / ||g_0||
+        s_{k+1}  = s_k + lambda_k g_k
+        d_hat    = (||s_{k+1}||^2 - sum lambda_i^2 ||g_i||^2) / (2||s_{k+1}||)
+        d_{k+1}  = max(d_k, min(d_hat, growth_rate * d_k))
+
+    Weight decay is coupled (added to the gradient) like torch SGD.
+    Implemented from the paper — the pip package is not available in this
+    environment for bit-level comparison."""
+
+    def _tree_dot(a, b):
+        return sum(
+            jnp.sum(x.astype(jnp.float32) * y.astype(jnp.float32))
+            for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)))
+
+    def init(params):
+        zeros = jax.tree.map(lambda p: jnp.zeros_like(p, jnp.float32), params)
+        return DAdaptSGDState(
+            d=jnp.asarray(d0, jnp.float32), step=jnp.zeros((), jnp.int32),
+            g0_norm=jnp.zeros((), jnp.float32), s=zeros,
+            grad_sum_sq=jnp.zeros((), jnp.float32))
+
+    def update(grads, state, params=None):
+        if weight_decay:
+            grads = jax.tree.map(
+                lambda g, p: g + weight_decay * p.astype(g.dtype),
+                grads, params)
+        gnorm = jnp.sqrt(_tree_dot(grads, grads))
+        g0 = jnp.where(state.step == 0, jnp.maximum(gnorm, 1e-12),
+                       state.g0_norm)
+        gamma = jnp.asarray(learning_rate(state.step), jnp.float32)
+        lam = state.d * gamma / g0
+        s = jax.tree.map(
+            lambda si, g: si + lam * g.astype(jnp.float32), state.s, grads)
+        grad_sum_sq = state.grad_sum_sq + lam * lam * gnorm * gnorm
+        s_norm = jnp.sqrt(_tree_dot(s, s))
+        d_hat = (s_norm * s_norm - grad_sum_sq) / (2.0 * jnp.maximum(
+            s_norm, 1e-12))
+        d = jnp.maximum(state.d,
+                        jnp.minimum(d_hat, state.d * growth_rate))
+        updates = jax.tree.map(
+            lambda g: (-lam * g.astype(jnp.float32)).astype(g.dtype), grads)
+        return updates, DAdaptSGDState(d=d, step=state.step + 1, g0_norm=g0,
+                                       s=s, grad_sum_sq=grad_sum_sq)
+
+    return optax.GradientTransformation(init, update)
+
+
+class DAdaptAdaGradState(NamedTuple):
+    d: jnp.ndarray
+    step: jnp.ndarray
+    s: optax.Updates          # sum of lambda_k * g_k
+    a_sq: optax.Updates       # per-coordinate sum of g^2
+    weighted_sum: jnp.ndarray  # sum of lambda_k^2 <g_k, g_k / (a_k + eps)>
+
+
+def dadapt_adagrad(learning_rate: Callable, eps: float = 0.0,
+                   weight_decay: float = 0.0,
+                   growth_rate: float = float("inf"), d0: float = 1e-6
+                   ) -> optax.GradientTransformation:
+    """AdaGrad with D-Adaptation (Defazio & Mishchenko, ICML 2023, Alg. 3)
+    — the reference reaches it via `dadaptation.DAdaptAdaGrad`
+    (model/network.py:103-110). The AdaGrad accumulator provides the
+    per-coordinate normalization; d is estimated under the A^{-1} norm:
+
+        a_{k+1}  = sqrt(a_k^2 + g_k^2)   (per coordinate)
+        x_{k+1}  = x_k - d_k gamma_k g_k / (a_{k+1} + eps)
+        d_hat    = (<s, s/(a+eps)> - sum lam_i^2 <g_i, g_i/(a_i+eps)>)
+                   / (2 sqrt(<s, s/(a+eps)>))
+
+    Coupled weight decay; implemented from the paper (pip package not
+    available here for bit-level comparison)."""
+
+    def init(params):
+        zeros = jax.tree.map(lambda p: jnp.zeros_like(p, jnp.float32), params)
+        return DAdaptAdaGradState(
+            d=jnp.asarray(d0, jnp.float32), step=jnp.zeros((), jnp.int32),
+            s=zeros, a_sq=jax.tree.map(jnp.zeros_like, zeros),
+            weighted_sum=jnp.zeros((), jnp.float32))
+
+    def update(grads, state, params=None):
+        if weight_decay:
+            grads = jax.tree.map(
+                lambda g, p: g + weight_decay * p.astype(g.dtype),
+                grads, params)
+        gf = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
+        a_sq = jax.tree.map(lambda a, g: a + g * g, state.a_sq, gf)
+        denom = jax.tree.map(
+            lambda a: jnp.sqrt(a) + eps + 1e-12, a_sq)
+        gamma = jnp.asarray(learning_rate(state.step), jnp.float32)
+        lam = state.d * gamma
+        s = jax.tree.map(lambda si, g: si + lam * g, state.s, gf)
+        g_weighted = sum(jnp.sum(g * g / dn) for g, dn in
+                         zip(jax.tree.leaves(gf), jax.tree.leaves(denom)))
+        weighted_sum = state.weighted_sum + lam * lam * g_weighted
+        s_weighted = sum(jnp.sum(si * si / dn) for si, dn in
+                         zip(jax.tree.leaves(s), jax.tree.leaves(denom)))
+        d_hat = (s_weighted - weighted_sum) / (2.0 * jnp.maximum(
+            jnp.sqrt(s_weighted), 1e-12))
+        d = jnp.maximum(state.d,
+                        jnp.minimum(d_hat, state.d * growth_rate))
+        updates = jax.tree.map(
+            lambda g, dn: (-lam * g / dn).astype(g.dtype), gf, denom)
+        updates = jax.tree.map(lambda u, g: u.astype(g.dtype),
+                               updates, grads)
+        return updates, DAdaptAdaGradState(
+            d=d, step=state.step + 1, s=s, a_sq=a_sq,
+            weighted_sum=weighted_sum)
+
+    return optax.GradientTransformation(init, update)
 
 
 def _relative(sched: Callable, base: float) -> Callable:

@@ -42,9 +42,15 @@ def sample_overrides(space: Dict[str, Sequence[Any]], rng: np.random.Generator
 
 def random_search(base_cfg, space: Dict[str, Sequence[Any]],
                   num_trials: int = 8, criteria: str = "mpjpe",
-                  seed: int = 0) -> Dict[str, Any]:
+                  seed: int = 0, epoch_callback=None) -> Dict[str, Any]:
     """Run `num_trials` trainings with sampled overrides; returns the best
-    trial record {overrides, score, experiment_name}."""
+    trial record {overrides, score, experiment_name}.
+
+    Scoring rides train_main's per-epoch tuner hook: every epoch report
+    (val_metrics, checkpoint_path, bad_loss) updates the trial's best
+    `criteria` value. An external scheduler can plug in via
+    `epoch_callback(trial, report) -> bool` — a truthy return early-stops
+    that trial (the trial still scores on what it reached)."""
     from egotap_tpu.train.loop import train_main
 
     rng = np.random.default_rng(seed)
@@ -59,13 +65,29 @@ def random_search(base_cfg, space: Dict[str, Sequence[Any]],
         cfg.experiment_name = f"{base_cfg.experiment_name}_search/t{trial:03d}"
         cfg = cfg.derive()
         print(f"--- trial {trial}: {overrides}")
+
+        trial_best = [math.inf]
+
+        def on_epoch(report, _trial=trial, _best=trial_best):
+            if report.get("bad_loss"):
+                return epoch_callback(_trial, report) \
+                    if epoch_callback else False
+            val = report.get("val_metrics") or {}
+            if criteria in val:
+                _best[0] = min(_best[0], float(val[criteria]))
+            return epoch_callback(_trial, report) \
+                if epoch_callback else False
+
         try:
-            finished = train_main(cfg)
+            finished = train_main(cfg, epoch_callback=on_epoch)
         except Exception as e:  # a diverged trial shouldn't kill the search
             print(f"trial {trial} failed: {e}")
             finished = False
-        score = _best_validation_metric(cfg.experiment_dir, criteria) \
-            if finished else math.inf
+        score = trial_best[0]
+        if math.isinf(score) and finished:
+            # e.g. val_epoch_freq never hit criteria — fall back to the
+            # summary file
+            score = _best_validation_metric(cfg.experiment_dir, criteria)
         results.append({"trial": trial, "overrides": overrides,
                         "score": score,
                         "experiment_name": cfg.experiment_name})

@@ -41,6 +41,30 @@ class TestConfig:
         assert cfg.heatmap_type == "sin"
         assert cfg.optimizer_type == "AdamW"
 
+    def test_from_args_explicit_flag_equal_to_default_overrides_preset(self):
+        # regression: explicit flags whose value equals the dataclass
+        # default must still override the preset (argparse.SUPPRESS
+        # sentinels; previously `--lr_policy lambda` over a preset that
+        # sets cos_anneal_warmup was silently dropped)
+        cfg = Config.from_args(["--preset", "egotap_unrealego",
+                                "--lr_policy", "lambda",
+                                "--use_amp", "false"])
+        assert cfg.lr_policy == "lambda"
+        assert cfg.use_amp is False
+        # unpassed flags keep the preset value
+        assert cfg.optimizer_type == "AdamW"
+        assert cfg.batch_size == 32
+
+    def test_from_args_preset_kwarg_and_optional_int(self):
+        cfg = Config.from_args(["--watchdog_check_iters", "123"],
+                               preset="egotap_unrealego")
+        assert cfg.skel_layer == "PU"          # preset kwarg applied
+        assert cfg.watchdog_check_iters == 123  # Optional[int] parsed as int
+        # --preset flag wins over the kwarg
+        cfg2 = Config.from_args(["--preset", "unrealego_heatmap_joint"],
+                                preset="egotap_unrealego")
+        assert cfg2.model == "heatmap_shared"
+
     def test_presets_cover_shipped_scripts(self):
         names = {"unrealego_heatmap_joint", "unrealego_heatmap_limb",
                  "egotap_unrealego", "egotap_egocap",
@@ -105,7 +129,8 @@ class TestSchedules:
 class TestLearnedLROptimizers:
     """DAdam / Prodigy (reference model/network.py:79-116) via optax.contrib."""
 
-    @pytest.mark.parametrize("opt_type", ["DAdam", "Prodigy"])
+    @pytest.mark.parametrize("opt_type", ["DAdam", "Prodigy", "DSGD",
+                                          "DAdaGrad"])
     def test_converges_on_quadratic(self, opt_type):
         import jax.numpy as jnp
         import optax
@@ -122,6 +147,45 @@ class TestLearnedLROptimizers:
         # the learned step size must have adapted enough to make progress
         # from d0=1e-6 despite lr being left at its 1.0 default
         assert float(jnp.linalg.norm(params["w"])) < 5.0 * 0.5
+
+    @pytest.mark.parametrize("opt_type", ["DSGD", "DAdaGrad"])
+    def test_dadapt_d_estimate_grows(self, opt_type):
+        import jax.numpy as jnp
+        import optax
+        from egotap_tpu.train.optim import make_optimizer
+        cfg = Config(optimizer_type=opt_type, lr=1.0, lr_policy="cos_anneal",
+                     niter=1, niter_decay=0).derive()
+        tx = make_optimizer(cfg, iters_per_epoch=500)
+        params = {"w": jnp.full((8,), 3.0)}
+        state = tx.init(params)
+        assert float(state.d) == pytest.approx(1e-6)
+        for _ in range(50):
+            grads = {"w": params["w"]}
+            updates, state = tx.update(grads, state, params)
+            params = optax.apply_updates(params, updates)
+        # d must have grown from d0 toward the true distance-to-solution
+        # scale, and must stay finite
+        assert float(state.d) > 1e-4
+        assert np.isfinite(float(state.d))
+
+    def test_dadapt_growth_rate_caps_d(self):
+        import jax.numpy as jnp
+        from egotap_tpu.train.optim import dadapt_sgd
+        tx = dadapt_sgd(lambda s: 1.0, growth_rate=1.5, d0=1e-6)
+        params = {"w": jnp.full((4,), 5.0)}
+        state = tx.init(params)
+        prev_d = float(state.d)
+        for _ in range(10):
+            _, state = tx.update({"w": params["w"]}, state, params)
+            assert float(state.d) <= prev_d * 1.5 * (1 + 1e-6)
+            prev_d = float(state.d)
+
+    def test_dadam_coupled_decay_warns(self):
+        from egotap_tpu.train.optim import make_optimizer
+        cfg = Config(optimizer_type="DAdam", weight_decay=0.01,
+                     decouple=False).derive()
+        with pytest.warns(UserWarning, match="decoupled"):
+            make_optimizer(cfg, iters_per_epoch=10)
 
     def test_plugs_into_train_step(self, tmp_path):
         import jax

@@ -167,3 +167,75 @@ class TestSinMaps:
         np.testing.assert_allclose(np.asarray(dn_c), cn, rtol=1e-6)
         np.testing.assert_allclose(np.asarray(dn_s), sn, rtol=1e-6)
         np.testing.assert_allclose(np.sqrt(cn ** 2 + sn ** 2), raw, atol=1e-5)
+
+
+class TestSampleLimbHeatmaps:
+    """Depth-weighted limb sampler (reference utils/projection.py:291-335;
+    dead upstream — the reference loop indexes out of bounds, see the
+    docstring's documented divergence)."""
+
+    def _pose(self, rng, preset="UnrealEgo"):
+        sk = get_skeleton(preset)
+        J = len(sk.parents_array())
+        pts2d = _random_pose_2d(rng, J)
+        depth = rng.uniform(-10.0, 120.0, size=J)
+        return sk.parents_array(), pts2d, depth
+
+    def test_unweighted_matches_manual_lines(self, rng):
+        parents, pts2d, depth = self._pose(rng)
+        out = H.sample_limb_heatmaps(pts2d, depth, parents, res=64)
+        assert out.shape == (len(parents) - 2, 64, 64)
+        # limb i is the blurred AA line joint (i+2) -> parent, reflect mode,
+        # no normalization
+        for joint in (2, 5, len(parents) - 1):
+            p = np.rint(pts2d[parents[joint]] / 16.0).astype(int)
+            q = np.rint(pts2d[joint] / 16.0).astype(int)
+            img = np.zeros((64, 64), dtype=np.float32)
+            rr, cc, val = H.line_aa(p[0], p[1], q[0], q[1])
+            ok = (rr >= 0) & (rr < 64) & (cc >= 0) & (cc < 64)
+            img[cc[ok], rr[ok]] = val[ok]
+            np.testing.assert_allclose(out[joint - 2],
+                                       gaussian_filter(img, sigma=1),
+                                       atol=1e-6)
+
+    def test_depth_weighting_interpolates_endpoints(self):
+        parents = np.array([0, 0, 1, 2])
+        pts2d = np.array([[160., 320.], [160., 320.], [160., 320.],
+                          [800., 320.]])
+        depth = np.array([0.0, 0.0, 2.0, 6.0])
+        out = H.sample_limb_heatmaps(pts2d, depth, parents, res=64,
+                                     weight_depth=True, depth_scale=2.0,
+                                     depth_offset=1.0)
+        # limb 1: horizontal line x 10..50 at y 20; pixel values before the
+        # blur are depth-lerped then scaled/offset. The AA line's
+        # zero-weight second row (y 21) still receives depth_offset —
+        # reference quirk (val += depth_offset applies to every line pixel)
+        img = np.zeros((64, 64))
+        for x in range(10, 51):
+            t = (x - 10) / 40.0
+            img[20, x] = ((1 - t) * 2.0 + t * 6.0) * 2.0 + 1.0
+            img[21, x] = 1.0
+        np.testing.assert_allclose(out[1], gaussian_filter(img, sigma=1),
+                                   atol=1e-5)
+
+    def test_degenerate_limb_uses_min_depth_without_scale(self):
+        parents = np.array([0, 0, 1])
+        pts2d = np.array([[320., 320.], [480., 480.], [480., 480.]])
+        depth = np.array([0.0, 3.0, 7.0])
+        out = H.sample_limb_heatmaps(pts2d, depth, parents, res=64,
+                                     weight_depth=True, depth_scale=100.0,
+                                     depth_offset=50.0)
+        # joint 2 == its parent: single pixel, min(3,7)=3, scale/offset
+        # skipped (reference quirk)
+        img = np.zeros((64, 64))
+        img[30, 30] = 3.0
+        np.testing.assert_allclose(out[0], gaussian_filter(img, sigma=1),
+                                   atol=1e-6)
+
+    def test_negative_depth_clamped(self):
+        parents = np.array([0, 0, 1])
+        pts2d = np.array([[320., 320.], [320., 320.], [640., 320.]])
+        depth = np.array([0.0, -5.0, -1.0])
+        out = H.sample_limb_heatmaps(pts2d, depth, parents, res=64,
+                                     weight_depth=True)
+        np.testing.assert_allclose(out[0], 0.0, atol=1e-7)

@@ -46,3 +46,26 @@ def test_random_search_smoke(tmp_path):
                                 "search_results.json")
     assert os.path.exists(results_file)
     assert len(json.load(open(results_file))) == 2
+
+
+def test_random_search_external_tuner_early_stop(tmp_path):
+    """A fake external scheduler early-stops every trial after epoch 1 via
+    the epoch_callback surface; trials still score on what they reached."""
+    root = str(tmp_path / "data")
+    generate_dataset(root, "UnrealEgo", num_sequences=1, frames_per_seq=5,
+                     image_size=16)
+    cfg = synthetic_config(
+        root, model="heatmap_shared", num_heatmap=15, num_rot_heatmap=0,
+        heatmap_type="none", load_size_heatmap=(16, 16), batch_size=4,
+        niter=2, niter_decay=1, lr=1e-4, log_dir=str(tmp_path / "log"),
+        result_dir=str(tmp_path / "results"), experiment_name="es")
+    seen = []
+
+    def scheduler(trial, report):
+        seen.append((trial, report["epoch"]))
+        return True   # stop every trial after its first epoch
+
+    best = random_search(cfg, {"lr": [1e-4, 5e-5]}, num_trials=2,
+                         criteria="mse_heatmap", epoch_callback=scheduler)
+    assert best["score"] < float("inf")
+    assert seen == [(0, 1), (1, 1)]   # exactly one epoch per trial
