@@ -6,9 +6,15 @@ Equivalent of the reference's utils/evaluate.py:75-170 and test.py:
   * `write_detail_result` / `write_categorical_result`: the text artifact
     formats the reference emits (test.py:9-18, 60-77).
 
-Timing convention: wall-clock around the blocked eval_step call, like the
-reference's timing around model.evaluate (utils/evaluate.py:108-111) —
-this is the throughput number BASELINE.md tracks.
+Timing convention: the device queue is kept fed (no per-batch sync) and
+completion is forced once at the end by reading a scalar back — through
+the TPU relay `block_until_ready` does NOT actually block (CLAUDE.md), so
+per-batch blocked timing both under-measures and serializes the pipeline.
+The first batch (compile + warmup) is excluded when more than one batch
+runs, giving a steady-state number comparable to bench.py's fused scan.
+The reference times around the per-batch blocked call
+(utils/evaluate.py:108-111); on a GPU without a relay both conventions
+agree at steady state.
 """
 
 from __future__ import annotations
@@ -33,7 +39,12 @@ def evaluate(cfg: Config, task, state, mode: str = "test",
              max_batches: Optional[int] = None
              ) -> Tuple[Dict[str, float], Dict[str, list], float]:
     """Run eval over a split. Returns (mean metrics, per-sample stats,
-    pairs/sec)."""
+    pairs/sec).
+
+    Multi-host: mean metrics and pairs/sec are global (reduced across
+    processes); `per_sample` stats remain shard-local to each process —
+    only the save_result artifacts are gathered globally (written by
+    process 0)."""
     loader = make_loader(cfg, mode, category_id)
     if len(loader) == 0:
         suffix = f" (category {category_id})" if category_id else ""
@@ -55,9 +66,12 @@ def evaluate(cfg: Config, task, state, mode: str = "test",
 
     pred_poses, gt_poses, input_paths = [], [], []
     pending = []  # (device metrics, mask, device poses) — read back at end
-    elapsed = 0.0
     n_samples = 0
+    timed_samples = 0
 
+    t_start = time.perf_counter()
+    t_warm = None
+    out = None
     for bi, batch in enumerate(loader):
         if max_batches is not None and bi >= max_batches:
             break
@@ -70,19 +84,31 @@ def evaluate(cfg: Config, task, state, mode: str = "test",
         feed = batch if shard is None else shard(batch)
         feed = pre({k: jnp.asarray(v) if shard is None else v
                     for k, v in feed.items()})
-        t0 = time.perf_counter()
         out = task.eval_step(state, feed)
-        out = jax.block_until_ready(out)
-        elapsed += time.perf_counter() - t0
 
         n_samples += int(mask.sum())
         # keep results on device; host conversion happens after the loop so
-        # the device pipeline is never stalled on metric readbacks
+        # the device pipeline is never stalled on metric readbacks — the
+        # host runs ahead, double-buffering the feed
         poses = (out.get("pred_pose"), out.get("gt_pose")) if save_result \
             else None
         pending.append((out["metrics"], mask, poses))
         if save_result:
             input_paths.extend(paths)
+        if bi == 0:
+            _force_completion(out)   # compile + warmup boundary
+            t_warm = time.perf_counter()
+        else:
+            timed_samples += int(mask.sum())
+    if out is not None:
+        # programs execute in queue order, so syncing the last step's
+        # output bounds the whole pipeline
+        _force_completion(out)
+    t_end = time.perf_counter()
+    if t_warm is not None and timed_samples > 0:
+        elapsed, n_timed = t_end - t_warm, timed_samples
+    else:
+        elapsed, n_timed = t_end - t_start, n_samples
 
     for metrics, mask, poses in pending:
         acc.update({k: _local_rows(v) for k, v in metrics.items()},
@@ -93,32 +119,91 @@ def evaluate(cfg: Config, task, state, mode: str = "test",
             gt_poses.append(_local_rows(poses[1])[keep])
 
     if save_result and pred_poses:
-        save_path = cfg.results_dir
-        os.makedirs(save_path, exist_ok=True)
-        np.save(os.path.join(save_path, "pred_pose.npy"),
-                np.concatenate(pred_poses, axis=0))
-        data_name = os.path.normpath(cfg.data_dir).split("/")[-1].lower()
-        np.save(os.path.join(save_path, os.pardir,
-                             f"gt_{data_name}_pose.npy"),
-                np.concatenate(gt_poses, axis=0))
-        with open(os.path.join(save_path, "input_paths.pkl"), "wb") as f:
-            pickle.dump(np.asarray(input_paths).reshape(-1, 1), f)
+        pred = np.concatenate(pred_poses, axis=0)
+        gt = np.concatenate(gt_poses, axis=0)
+        paths_arr = np.asarray(input_paths)
+        if jax.process_count() > 1:
+            # each host holds only its shard's rows; gather everything so
+            # the artifacts are global, and let exactly one process write
+            # (concurrent writers to cfg.results_dir would race)
+            pred = _allgather_rows(pred)
+            gt = _allgather_rows(gt)
+            paths_arr = _allgather_strings(paths_arr)
+        if jax.process_index() == 0:
+            save_path = cfg.results_dir
+            os.makedirs(save_path, exist_ok=True)
+            np.save(os.path.join(save_path, "pred_pose.npy"), pred)
+            data_name = os.path.normpath(cfg.data_dir).split("/")[-1].lower()
+            np.save(os.path.join(save_path, os.pardir,
+                                 f"gt_{data_name}_pose.npy"), gt)
+            with open(os.path.join(save_path, "input_paths.pkl"), "wb") as f:
+                pickle.dump(paths_arr.reshape(-1, 1), f)
 
-    pairs_per_sec = n_samples / elapsed if elapsed > 0 else 0.0
+    pairs_per_sec = n_timed / elapsed if elapsed > 0 else 0.0
     means = acc.means()
     if jax.process_count() > 1:
         # each host accumulated only its shard's rows; reduce the means
         # (weighted by local counts) across hosts so every process reports
-        # the global metric values
+        # the global metric values. Keys are iterated in sorted order so a
+        # host with a conditionally-absent metric cannot mis-associate
+        # positions.
         from jax.experimental import multihost_utils
+        keys = sorted(means)
         local = np.asarray(
-            [[means.get(k, 0.0) * acc.count, acc.count] for k in means]
+            [[means[k] * acc.count, acc.count] for k in keys]
             or [[0.0, 0]], dtype=np.float64)
         allhosts = multihost_utils.process_allgather(local)
         totals = allhosts.sum(axis=0)
         means = {k: float(totals[i, 0] / max(totals[i, 1], 1))
-                 for i, k in enumerate(means)}
+                 for i, k in enumerate(keys)}
+        # global throughput: all hosts' timed samples over the slowest
+        # host's wall-clock (hosts run in lockstep on the same programs)
+        tl = multihost_utils.process_allgather(
+            np.asarray([float(n_timed), elapsed], dtype=np.float64))
+        pairs_per_sec = float(tl[:, 0].sum()) / max(float(tl[:, 1].max()),
+                                                    1e-9)
     return means, acc.per_sample, pairs_per_sec
+
+
+def _force_completion(out) -> None:
+    """Actually wait for a step's outputs: read one leaf back to host
+    (`block_until_ready` does not block through the TPU relay)."""
+    leaf = jax.tree.leaves(out["metrics"] if isinstance(out, dict)
+                           and "metrics" in out else out)[0]
+    np.asarray(_local_rows(leaf))
+
+
+def _allgather_rows(arr: np.ndarray) -> np.ndarray:
+    """Concatenate per-host row arrays (possibly unequal row counts) in
+    process order."""
+    from jax.experimental import multihost_utils
+    counts = np.atleast_1d(multihost_utils.process_allgather(
+        np.asarray([arr.shape[0]], dtype=np.int64))).reshape(-1)
+    maxn = int(counts.max())
+    if maxn == 0:
+        return arr
+    if arr.shape[0] < maxn:
+        pad = np.zeros((maxn - arr.shape[0],) + arr.shape[1:], arr.dtype)
+        arr = np.concatenate([arr, pad], axis=0)
+    gathered = multihost_utils.process_allgather(arr)
+    return np.concatenate(
+        [gathered[p, :int(counts[p])] for p in range(len(counts))], axis=0)
+
+
+def _allgather_strings(arr: np.ndarray) -> np.ndarray:
+    """Allgather a 1-D array of strings (utf-8, padded to the global max
+    byte length for the fixed-shape collective)."""
+    from jax.experimental import multihost_utils
+    enc = [s.encode("utf-8") for s in arr.tolist()]
+    local_max = max((len(b) for b in enc), default=0)
+    width = int(np.atleast_1d(multihost_utils.process_allgather(
+        np.asarray([local_max], dtype=np.int64))).max())
+    width = max(width, 1)
+    buf = np.zeros((len(enc), width), dtype=np.uint8)
+    for i, b in enumerate(enc):
+        buf[i, :len(b)] = np.frombuffer(b, dtype=np.uint8)
+    out = _allgather_rows(buf)
+    return np.asarray([bytes(row[row != 0]).decode("utf-8") for row in out])
 
 
 def _local_rows(v) -> np.ndarray:
@@ -127,8 +212,14 @@ def _local_rows(v) -> np.ndarray:
     addressable shards concatenated by global row offset (exactly the rows
     this host's sharded loader produced, so local masks stay aligned)."""
     if isinstance(v, jax.Array) and not v.is_fully_addressable:
-        shards = sorted(v.addressable_shards,
-                        key=lambda s: s.index[0].start or 0)
+        # deduplicate shards with identical index tuples: a replicated
+        # output (e.g. a scalar metric broadcast to every local device)
+        # would otherwise be concatenated once per device
+        unique = {}
+        for s in v.addressable_shards:
+            key = tuple((sl.start, sl.stop) for sl in s.index)
+            unique.setdefault(key, s)
+        shards = sorted(unique.values(), key=lambda s: s.index[0].start or 0)
         return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
     return np.asarray(v)
 

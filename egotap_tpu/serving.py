@@ -64,10 +64,13 @@ class Predictor:
             rot_heatmap_vars = {**rot_heatmap_vars, "qparams":
                                 quantize_conv_tree(rot_heatmap_vars["params"])}
         self._vars = (heatmap_vars, rot_heatmap_vars, lifter_vars)
+        # variables are passed as jit ARGUMENTS, never closed over: a
+        # closure would inline ~100M params as HLO constants and compile
+        # pathologically slowly (the __graft_entry__.py:39-41 lesson)
         self._fn = jax.jit(self._forward)
 
-    def _forward(self, rgb: jnp.ndarray) -> jnp.ndarray:
-        hv, rv, lv = self._vars
+    def _forward(self, variables, rgb: jnp.ndarray) -> jnp.ndarray:
+        hv, rv, lv = variables
         x = rgb.astype(jnp.bfloat16 if self.bf16 else jnp.float32)
         pos = self.pos_net.apply(hv, x, train=False)
         rot = self.rot_net.apply(rv, x, train=False)
@@ -77,7 +80,7 @@ class Predictor:
 
     def __call__(self, rgb) -> np.ndarray:
         """rgb: (B, views, H, W, 3) ImageNet-normalized float32."""
-        return np.asarray(self._fn(jnp.asarray(rgb)))
+        return np.asarray(self._fn(self._vars, jnp.asarray(rgb)))
 
     def heatmaps(self, rgb) -> np.ndarray:
         """Debug path: the concatenated stage-1 heatmap stack."""
