@@ -5,12 +5,20 @@ already run at ~95% of the bf16 MXU roofline — the remaining single-chip
 speed lever is precision. v5e executes int8 at 2x the bf16 rate
 (measured: 360 TOP/s vs 189 TF/s, tools/probe_int8.py).
 
-Scheme (TensorRT-style PTQ, computed on the fly — no calibration pass):
+Scheme (TensorRT-style PTQ):
   * weights: symmetric per-output-channel int8 (quantized from the stored
     f32 params each step; they are read from HBM anyway and the rounding
-    fuses into that read),
-  * activations: symmetric per-tensor int8 with a dynamic scale
-    (max|x|/127, one reduction that fuses into the producer),
+    fuses into that read; `quantize_conv_tree` pre-computes them),
+  * activations: symmetric per-tensor int8. Two modes:
+      - dynamic (default): max|x|/127 per call — no calibration needed,
+        but the scale couples samples in a batch (an outlier sample
+        changes everyone's quantization) and costs extra HBM passes;
+      - static calibrated: `calibrate_amax` records per-module max|x|
+        over calibration batches ("calib" collection sown by QConv /
+        QDense); `amax_to_qparams` turns that into fixed per-module
+        "a_scale" qparams entries. With a_scale present, per-sample
+        outputs are batch-composition-independent and the max-reduction
+        passes disappear from the hot path.
   * accumulation in int32, dequantized into the compute dtype.
 
 Inference-only: training, the f32 test CLI, and checkpoint layouts are
@@ -41,16 +49,19 @@ def quantized_conv(x: jnp.ndarray, kernel: jnp.ndarray,
                    groups: int = 1,
                    bias: Optional[jnp.ndarray] = None,
                    precomputed: Optional[Tuple[jnp.ndarray, jnp.ndarray]]
-                   = None) -> jnp.ndarray:
-    """NHWC int8 conv with dynamic activation / per-channel weight scales;
-    `precomputed` supplies already-quantized (kernel_q, scale)."""
+                   = None,
+                   a_scale: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """NHWC int8 conv with per-channel weight scales and dynamic (default)
+    or static calibrated (`a_scale`) activation scales; `precomputed`
+    supplies already-quantized (kernel_q, scale)."""
     if isinstance(stride, int):
         stride = (stride, stride)
     wq, w_scale = precomputed if precomputed is not None \
         else quantize_weights(kernel)
 
     xf = x.astype(jnp.float32)
-    a_scale = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
+    if a_scale is None:
+        a_scale = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
     xq = jnp.clip(jnp.round(xf / a_scale), -127, 127).astype(jnp.int8)
 
     acc = jax.lax.conv_general_dilated(
@@ -67,9 +78,10 @@ def quantized_conv(x: jnp.ndarray, kernel: jnp.ndarray,
 def quantized_dense(x: jnp.ndarray, kernel: jnp.ndarray,
                     bias: Optional[jnp.ndarray] = None,
                     precomputed: Optional[Tuple[jnp.ndarray, jnp.ndarray]]
-                    = None) -> jnp.ndarray:
-    """int8 matmul with dynamic per-tensor activation / per-column weight
-    scales; x (..., K), kernel (K, N)."""
+                    = None,
+                    a_scale: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """int8 matmul with per-column weight scales and dynamic or static
+    (`a_scale`) per-tensor activation scales; x (..., K), kernel (K, N)."""
     if precomputed is not None:
         wq, w_scale = precomputed
     else:
@@ -78,7 +90,8 @@ def quantized_dense(x: jnp.ndarray, kernel: jnp.ndarray,
         wq = jnp.clip(jnp.round(w / w_scale), -127, 127).astype(jnp.int8)
 
     xf = x.astype(jnp.float32)
-    a_scale = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
+    if a_scale is None:
+        a_scale = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
     xq = jnp.clip(jnp.round(xf / a_scale), -127, 127).astype(jnp.int8)
 
     acc = jax.lax.dot_general(
@@ -88,6 +101,67 @@ def quantized_dense(x: jnp.ndarray, kernel: jnp.ndarray,
     if bias is not None:
         out = out + bias.astype(jnp.float32)
     return out.astype(x.dtype)
+
+
+def _calib_or_static(mod: nn.Module, x: jnp.ndarray
+                     ) -> Optional[jnp.ndarray]:
+    """Shared QConv/QDense activation-scale plumbing: record max|x| into
+    the 'calib' collection when it is mutable (calibration pass; sow is a
+    no-op otherwise and XLA DCEs the reduction), and return the static
+    calibrated scale if one has been installed in qparams."""
+    mod.sow("calib", "amax", jnp.max(jnp.abs(x.astype(jnp.float32))),
+            init_fn=lambda: jnp.zeros((), jnp.float32),
+            reduce_fn=jnp.maximum)
+    if mod.has_variable("qparams", "a_scale"):
+        return mod.get_variable("qparams", "a_scale")
+    return None
+
+
+def calibrate_amax(apply_fn, variables: dict, batches,
+                   **apply_kwargs) -> dict:
+    """Run `apply_fn(variables, batch, mutable=["calib"], ...)` over
+    calibration batches and return the element-wise maximum 'calib' tree
+    (per-module max|activation| observed)."""
+    import jax
+
+    amax = None
+    for batch in batches:
+        _, mut = apply_fn(variables, batch, mutable=["calib"],
+                          **apply_kwargs)
+        tree = mut["calib"]
+        amax = tree if amax is None else jax.tree.map(jnp.maximum,
+                                                      amax, tree)
+    return amax
+
+
+def amax_to_qparams(amax_tree: dict) -> dict:
+    """Convert a 'calib' amax tree into a qparams fragment: every 'amax'
+    leaf becomes an 'a_scale' = max(amax, eps)/127 entry at the same
+    module path (mergeable with quantize_conv_tree's output via
+    merge_qparams)."""
+    out = {}
+    for k, v in amax_tree.items():
+        if k == "amax":
+            out["a_scale"] = jnp.maximum(jnp.asarray(v, jnp.float32),
+                                         1e-12) / 127.0
+        elif isinstance(v, dict):
+            sub = amax_to_qparams(v)
+            if sub:
+                out[k] = sub
+    return out
+
+
+def merge_qparams(*trees: dict) -> dict:
+    """Deep-merge qparams fragments (e.g. quantize_conv_tree weights +
+    amax_to_qparams activation scales)."""
+    out: dict = {}
+    for tree in trees:
+        for k, v in (tree or {}).items():
+            if isinstance(v, dict) and isinstance(out.get(k), dict):
+                out[k] = merge_qparams(out[k], v)
+            else:
+                out[k] = v
+    return out
 
 
 class QDense(nn.Module):
@@ -108,7 +182,9 @@ class QDense(nn.Module):
         if self.has_variable("qparams", "kernel_q"):
             pre = (self.get_variable("qparams", "kernel_q"),
                    self.get_variable("qparams", "scale"))
-        return quantized_dense(x, kernel, bias, precomputed=pre)
+        a_scale = _calib_or_static(self, x)
+        return quantized_dense(x, kernel, bias, precomputed=pre,
+                               a_scale=a_scale)
 
 
 def quantize_conv_tree(params) -> dict:
@@ -173,12 +249,14 @@ class QConv(nn.Module):
             if bias is not None:
                 out = out + bias.astype(out.dtype)
             return out
+        a_scale = _calib_or_static(self, x)
         if self.has_variable("qparams", "kernel_q"):
             # pre-quantized weights (quantize_conv_tree) — per-step weight
             # rounding measures ~0.3 ms per large conv on v5e
             wq = self.get_variable("qparams", "kernel_q")
             ws = self.get_variable("qparams", "scale")
             return quantized_conv(x, kernel, self.stride, pad, self.groups,
-                                  bias, precomputed=(wq, ws))
+                                  bias, precomputed=(wq, ws),
+                                  a_scale=a_scale)
         return quantized_conv(x, kernel, self.stride, pad,
-                              self.groups, bias)
+                              self.groups, bias, a_scale=a_scale)

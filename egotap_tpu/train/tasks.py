@@ -257,20 +257,72 @@ class LifterTask:
             frozen={"heatmap": hv, "rot_heatmap": rv},
         )
 
-    def prepare_inference(self, state: TrainState) -> TrainState:
+    def prepare_inference(self, state: TrainState,
+                          calib_batches=None) -> TrainState:
         """Return a state augmented with pre-quantized frozen-net weights
         ('{key}_q' entries consumed by the int8 eval path) — per-step
         weight rounding costs ~0.3 ms per large conv on v5e. Call once
         before an eval session; do NOT checkpoint the result (the train
-        loop and checkpoints keep the raw frozen tree)."""
-        if not self.cfg.int8_heatmap_inference:
+        loop and checkpoints keep the raw frozen tree).
+
+        calib_batches: optional iterable of batches (each with
+        'input_rgb') used to calibrate STATIC per-module activation
+        scales (ops/quant.py). With calibrated scales, int8 outputs are
+        batch-composition-independent and the dynamic max-reduction
+        passes leave the hot path; without them the dynamic per-call
+        scales are used."""
+        cfg = self.cfg
+        if not (cfg.int8_heatmap_inference or cfg.int8_lifter_inference):
             return state
-        from egotap_tpu.ops.quant import quantize_conv_tree
+        from egotap_tpu.ops.quant import (amax_to_qparams, merge_qparams,
+                                          quantize_conv_tree)
         frozen = dict(state.frozen)
+        if cfg.int8_heatmap_inference:
+            for key in ("heatmap", "rot_heatmap"):
+                if key in frozen and f"{key}_q" not in frozen:
+                    frozen[f"{key}_q"] = quantize_conv_tree(
+                        frozen[key]["params"])
+        if calib_batches is None:
+            return state.replace(frozen=frozen)
+
+        dt = _dtype(cfg)
+        nets = (("heatmap", self.pos_net_eval),
+                ("rot_heatmap", self.rot_net_eval))
+        hm_apply = {key: jax.jit(functools.partial(
+            net.apply, train=False, mutable=["calib"]))
+            for key, net in nets}
+        lift_apply = jax.jit(functools.partial(
+            self.lifter_eval.apply, train=False, mutable=["calib"]))
+
+        amax = {"heatmap": None, "rot_heatmap": None, "lifter": None}
+        for batch in calib_batches:
+            rgb = jnp.asarray(batch["input_rgb"]).astype(dt)
+            outs = []
+            for key, _net in nets:
+                variables = dict(frozen[key])
+                if f"{key}_q" in frozen:
+                    variables["qparams"] = frozen[f"{key}_q"]
+                if cfg.int8_heatmap_inference:
+                    out, mut = hm_apply[key](variables, rgb)
+                    amax[key] = mut["calib"] if amax[key] is None else \
+                        jax.tree.map(jnp.maximum, amax[key], mut["calib"])
+                else:
+                    out = _net.apply(variables, rgb, train=False)
+                outs.append(out)
+            if cfg.int8_lifter_inference:
+                hm_cat = jnp.concatenate(outs, axis=-1).astype(dt)
+                _, mut = lift_apply({"params": state.params,
+                                     "batch_stats": state.batch_stats},
+                                    hm_cat)
+                amax["lifter"] = mut["calib"] if amax["lifter"] is None \
+                    else jax.tree.map(jnp.maximum, amax["lifter"],
+                                      mut["calib"])
         for key in ("heatmap", "rot_heatmap"):
-            if key in frozen and f"{key}_q" not in frozen:
-                frozen[f"{key}_q"] = quantize_conv_tree(
-                    frozen[key]["params"])
+            if amax[key] is not None:
+                frozen[f"{key}_q"] = merge_qparams(
+                    frozen.get(f"{key}_q"), amax_to_qparams(amax[key]))
+        if amax["lifter"] is not None:
+            frozen["lifter_q"] = amax_to_qparams(amax["lifter"])
         return state.replace(frozen=frozen)
 
     def _forward_heatmaps(self, frozen, batch, train: bool):
@@ -349,9 +401,12 @@ class LifterTask:
         # like train (the test CLI forces use_amp=False for f32 reference
         # parity, test_options.py:15; the serving/bench path runs bf16,
         # optionally with int8 ViT matmuls via int8_lifter_inference)
+        lv = {"params": state.params, "batch_stats": state.batch_stats}
+        if "lifter_q" in state.frozen:
+            lv["qparams"] = state.frozen["lifter_q"]  # calibrated a_scales
         pose = self.lifter_eval.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            hm_cat.astype(_dtype(self.cfg)), train=False).astype(jnp.float32)
+            lv, hm_cat.astype(_dtype(self.cfg)),
+            train=False).astype(jnp.float32)
         metrics = pose_metrics(pose, batch["gt_local_pose"])
         return {"metrics": metrics, "pred_pose": pose,
                 "gt_pose": batch["gt_local_pose"]}

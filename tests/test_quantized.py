@@ -153,3 +153,87 @@ class TestStaticWeightQuant:
         # idempotent
         again = task.prepare_inference(prepped)
         assert again.frozen["heatmap_q"] is prepped.frozen["heatmap_q"]
+
+
+class TestCalibratedScales:
+    """Static calibrated activation scales (ops/quant.py): per-sample
+    outputs must be batch-composition-independent, and calibration on the
+    same data must reproduce the dynamic path exactly."""
+
+    def test_qconv_calibration_freezes_the_dynamic_scale(self):
+        from egotap_tpu.ops.quant import amax_to_qparams
+        q = QConv(64, 3, 1, 1)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 128))
+        v = dict(q.init(jax.random.PRNGKey(1), x))
+        dyn, mut = q.apply(v, x, mutable=["calib"])
+        assert float(mut["calib"]["amax"]) == pytest.approx(
+            float(jnp.abs(x).max()))
+        qp = amax_to_qparams(mut["calib"])
+        static = q.apply({**v, "qparams": qp}, x)
+        # calibrated on this exact tensor -> same scale -> same result
+        np.testing.assert_allclose(np.asarray(dyn), np.asarray(static),
+                                   atol=1e-6)
+
+    def test_merge_qparams_deep_merges(self):
+        from egotap_tpu.ops.quant import merge_qparams
+        a = {"m": {"kernel_q": 1, "scale": 2}}
+        b = {"m": {"a_scale": 3}, "n": {"a_scale": 4}}
+        got = merge_qparams(a, b)
+        assert got == {"m": {"kernel_q": 1, "scale": 2, "a_scale": 3},
+                       "n": {"a_scale": 4}}
+
+    def _task_and_batch(self, tmp_path):
+        from egotap_tpu.data.synthetic import synthetic_config
+        from egotap_tpu.train.tasks import LifterTask
+        cfg = synthetic_config(
+            str(tmp_path / "d"), "UnrealEgo", model="egotap_autoencoder",
+            num_heatmap=15, num_rot_heatmap=15, heatmap_type="sin",
+            skel_layer="PU", ae_hidden_size=32, patched_heatmap_ae=True,
+            load_size_heatmap=(16, 16), batch_size=2, niter=1,
+            niter_decay=1, int8_heatmap_inference=True,
+            int8_lifter_inference=True)
+        task = LifterTask(cfg)
+        state = task.init_state(jax.random.PRNGKey(0), iters_per_epoch=1)
+        rgb = jax.random.normal(jax.random.PRNGKey(2), (2, 2, 64, 64, 3))
+        batch = {"input_rgb": rgb, "gt_local_pose": jnp.zeros((2, 16, 3))}
+        return task, state, batch
+
+    def test_calibration_installs_scales_everywhere(self, tmp_path):
+        task, state, batch = self._task_and_batch(tmp_path)
+        prepped = task.prepare_inference(state, calib_batches=[batch])
+        flat = jax.tree_util.tree_leaves_with_path(
+            prepped.frozen["heatmap_q"])
+        assert any("a_scale" in jax.tree_util.keystr(p) for p, _ in flat)
+        assert "lifter_q" in prepped.frozen
+        out = task.eval_step(prepped, batch)
+        assert np.isfinite(np.asarray(out["pred_pose"])).all()
+
+    def test_calibrated_outputs_are_batch_invariant(self, tmp_path):
+        """Same sample alone-in-batch vs next to a 100x outlier: with
+        static scales the sample's pose must be identical (the dynamic
+        path's scale would be dragged by the outlier)."""
+        task, state, batch = self._task_and_batch(tmp_path)
+        prepped = task.prepare_inference(state, calib_batches=[batch])
+
+        rgb = np.asarray(batch["input_rgb"])
+        plain = np.stack([rgb[0], rgb[1]])
+        outlier = np.stack([rgb[0], rgb[1] * 100.0])
+        gt = jnp.zeros((2, 16, 3))
+        a = np.asarray(task.eval_step(
+            prepped, {"input_rgb": jnp.asarray(plain),
+                      "gt_local_pose": gt})["pred_pose"])
+        b = np.asarray(task.eval_step(
+            prepped, {"input_rgb": jnp.asarray(outlier),
+                      "gt_local_pose": gt})["pred_pose"])
+        np.testing.assert_array_equal(a[0], b[0])
+
+    def test_calibrated_stays_close_to_dynamic(self, tmp_path):
+        task, state, batch = self._task_and_batch(tmp_path)
+        dyn = np.asarray(task.eval_step(
+            task.prepare_inference(state), batch)["pred_pose"])
+        cal = np.asarray(task.eval_step(
+            task.prepare_inference(state, calib_batches=[batch]),
+            batch)["pred_pose"])
+        # calibrated on the same batch -> scales equal the dynamic ones up
+        # to reduction ordering; outputs agree tightly (cm)
+        np.testing.assert_allclose(dyn, cal, atol=2e-3)
