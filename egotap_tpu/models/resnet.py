@@ -107,6 +107,57 @@ class Bottleneck(nn.Module):
         return nn.relu(out + identity)
 
 
+class _ConvKernelParams(nn.Module):
+    """Declares an nn.Conv-identical kernel param (same path/shape/init)
+    without building the conv — the fused layer1 kernel consumes the raw
+    array instead."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape, jnp.float32)
+
+
+class _BNParams(nn.Module):
+    """Declares nn.BatchNorm-identical variables (params scale/bias,
+    batch_stats mean/var) and returns them as arrays."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        f = self.features
+        scale = self.param("scale", nn.initializers.ones, (f,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (f,), jnp.float32)
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((f,), jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((f,), jnp.float32))
+        return scale, bias, mean.value, var.value
+
+
+class _FusedBlockParams(nn.Module):
+    """Parameter-tree twin of a no-downsample BasicBlock: declares the
+    identical conv1/bn1/conv2/bn2 variables and hands the arrays to the
+    fused Pallas layer1 kernel (ops/fused_layer1.py)."""
+
+    features: int
+    in_ch: int
+
+    @nn.compact
+    def __call__(self) -> dict:
+        f, ci = self.features, self.in_ch
+        out = {"conv1": _ConvKernelParams((3, 3, ci, f), name="conv1")(),
+               "conv2": _ConvKernelParams((3, 3, f, f), name="conv2")()}
+        for bn in ("bn1", "bn2"):
+            s, b, m, v = _BNParams(f, name=bn)()
+            out.update({f"{bn}_scale": s, f"{bn}_bias": b,
+                        f"{bn}_mean": m, f"{bn}_var": v})
+        return out
+
+
 class S2DStemConv(nn.Module):
     """The ResNet stem (7x7 stride-2 conv on 3 channels) computed via
     space-to-depth: x rearranged to (H/2, W/2, 4*C) and the SAME stored
@@ -172,6 +223,11 @@ class ResNetEncoder(nn.Module):
     # packing) is offset by the phase-extraction pass; default off
     stem_s2d: bool = False
     quant: bool = False  # int8 inference convs (ops/quant.py)
+    # fused Pallas int8 layer1 (ops/fused_layer1.py): math-equivalent,
+    # parity-tested; shipped OFF because the measured kernel is slower
+    # than XLA's bf16 convs on v5e today (Mosaic's int8 dot runs at
+    # ~92 TOP/s at N=64 vs the 1.07 ms bf16 chain — tools/bench_layer1.py)
+    fused_layer1: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
@@ -193,6 +249,26 @@ class ResNetEncoder(nn.Module):
         feats = []
         widths = (64, 128, 256, 512)
         for li, (width, depth) in enumerate(zip(widths, depths), start=1):
+            if (li == 1 and self.quant and self.fused_layer1
+                    and kind == "basic" and g == 1
+                    and out.shape[-1] == width):
+                # fused int8 layer1 (ops/fused_layer1.py): whole-stage
+                # Pallas kernel, one HBM read/write per image instead of
+                # per conv; identical parameter tree via the shadow
+                # modules above. The reference computes this stage as
+                # torchvision layer1 (net_architecture.py:68-85).
+                import jax
+                from egotap_tpu.ops.fused_layer1 import (fused_layer1_int8,
+                                                         pack_blocks)
+                blocks = [_FusedBlockParams(width, out.shape[-1],
+                                            name=f"layer{li}_{bi}")()
+                          for bi in range(depth)]
+                wq, ws, b = pack_blocks(blocks, BN_EPS)
+                out = fused_layer1_int8(
+                    out, wq, ws, b,
+                    interpret=jax.default_backend() != "tpu")
+                feats.append(out)
+                continue
             for bi in range(depth):
                 stride = 2 if (li > 1 and bi == 0) else 1
                 in_ch = out.shape[-1]
