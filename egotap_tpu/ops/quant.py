@@ -109,9 +109,12 @@ def _calib_or_static(mod: nn.Module, x: jnp.ndarray
     the 'calib' collection when it is mutable (calibration pass; sow is a
     no-op otherwise and XLA DCEs the reduction), and return the static
     calibrated scale if one has been installed in qparams."""
-    mod.sow("calib", "amax", jnp.max(jnp.abs(x.astype(jnp.float32))),
-            init_fn=lambda: jnp.zeros((), jnp.float32),
-            reduce_fn=jnp.maximum)
+    if not mod.is_initializing():
+        # during init every collection is mutable and the sow would leak a
+        # 'calib' collection into the init variable tree
+        mod.sow("calib", "amax", jnp.max(jnp.abs(x.astype(jnp.float32))),
+                init_fn=lambda: jnp.zeros((), jnp.float32),
+                reduce_fn=jnp.maximum)
     if mod.has_variable("qparams", "a_scale"):
         return mod.get_variable("qparams", "a_scale")
     return None
@@ -189,8 +192,8 @@ class QDense(nn.Module):
 
 def quantize_conv_tree(params) -> dict:
     """Build the 'qparams' collection for a quantized net's params tree:
-    every wide conv kernel (the ones QConv actually quantizes, i.e.
-    in_ch >= 128) maps to {kernel_q, scale} at the same path. Feed the
+    every wide conv kernel (the ones QConv can quantize, i.e.
+    in_ch >= 64) maps to {kernel_q, scale} at the same path. Feed the
     result as apply({..., 'qparams': tree}, ...) so per-step weight
     rounding disappears from the hot path (~0.3 ms per large conv)."""
     import jax
@@ -198,7 +201,7 @@ def quantize_conv_tree(params) -> dict:
     def eligible(node):
         k = node.get("kernel")
         return (k is not None and not isinstance(k, dict)
-                and getattr(k, "ndim", 0) == 4 and k.shape[2] >= 128)
+                and getattr(k, "ndim", 0) == 4 and k.shape[2] >= 64)
 
     def walk(node):
         if eligible(node):  # a bare conv module's own params
@@ -237,11 +240,17 @@ class QConv(nn.Module):
                           (self.features,), jnp.float32) \
             if self.use_bias else None
         pad = ((self.padding, self.padding),) * 2
-        if in_ch < 128:
-            # narrow contraction dims (stem's 3 RGB channels, the 64-wide
-            # layer1 blocks) lose more to quantize/dequantize overhead than
-            # the MXU gains (measured: int8 stem 0.59 ms vs bf16 0.44) —
-            # run them in the compute dtype with the same parameters
+        a_scale = _calib_or_static(self, x) if in_ch >= 64 else None
+        if in_ch < 128 and a_scale is None:
+            # narrow contraction dims lose more to DYNAMIC
+            # quantize/dequantize overhead than the MXU gains (measured:
+            # int8 stem 0.59 ms vs bf16 0.44) — run them in the compute
+            # dtype. With a CALIBRATED static scale the max-reduction and
+            # its HBM passes disappear and int8 wins down to 64 channels
+            # (layer1 chain: 1.07 ms bf16 -> 0.25 ms static int8 on v5e,
+            # tools/bench_layer1.py), so 64-wide convs quantize once
+            # calibration installs a_scale. The 3-channel stem always
+            # stays in the compute dtype.
             out = jax.lax.conv_general_dilated(
                 x, kernel.astype(x.dtype), (self.stride, self.stride), pad,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -249,7 +258,6 @@ class QConv(nn.Module):
             if bias is not None:
                 out = out + bias.astype(out.dtype)
             return out
-        a_scale = _calib_or_static(self, x)
         if self.has_variable("qparams", "kernel_q"):
             # pre-quantized weights (quantize_conv_tree) — per-step weight
             # rounding measures ~0.3 ms per large conv on v5e

@@ -63,6 +63,7 @@ class Predictor:
                             quantize_conv_tree(heatmap_vars["params"])}
             rot_heatmap_vars = {**rot_heatmap_vars, "qparams":
                                 quantize_conv_tree(rot_heatmap_vars["params"])}
+        self._int8_hm, self._int8_lift = int8_hm, int8_lift
         self._vars = (heatmap_vars, rot_heatmap_vars, lifter_vars)
         # variables are passed as jit ARGUMENTS, never closed over: a
         # closure would inline ~100M params as HLO constants and compile
@@ -81,6 +82,62 @@ class Predictor:
     def __call__(self, rgb) -> np.ndarray:
         """rgb: (B, views, H, W, 3) ImageNet-normalized float32."""
         return np.asarray(self._fn(self._vars, jnp.asarray(rgb)))
+
+    def calibrate(self, rgb_batches) -> "Predictor":
+        """Install STATIC activation scales calibrated on representative
+        inputs (iterable of (B, views, H, W, 3) float32 arrays). With
+        calibrated scales int8 outputs are batch-composition-independent,
+        the dynamic max-reduction passes leave the hot path, and the
+        64-channel layer1 convs also quantize (ops/quant.py). No-op
+        unless an int8 mode is enabled. Returns self."""
+        if not (self._int8_hm or self._int8_lift):
+            return self
+        from egotap_tpu.ops.quant import amax_to_qparams, merge_qparams
+        hv, rv, lv = self._vars
+        dt = jnp.bfloat16 if self.bf16 else jnp.float32
+        applies = {
+            "pos": jax.jit(functools.partial(self.pos_net.apply,
+                                             train=False,
+                                             mutable=["calib"])),
+            "rot": jax.jit(functools.partial(self.rot_net.apply,
+                                             train=False,
+                                             mutable=["calib"])),
+            "lift": jax.jit(functools.partial(self.lifter.apply,
+                                              train=False,
+                                              mutable=["calib"])),
+        }
+        amax = {"pos": None, "rot": None, "lift": None}
+
+        def acc(key, mut):
+            tree = mut["calib"]
+            amax[key] = tree if amax[key] is None else jax.tree.map(
+                jnp.maximum, amax[key], tree)
+
+        for rgb in rgb_batches:
+            x = jnp.asarray(rgb).astype(dt)
+            if self._int8_hm:
+                pos, mh = applies["pos"](hv, x)
+                acc("pos", mh)
+                rot, mr = applies["rot"](rv, x)
+                acc("rot", mr)
+            else:
+                pos = self.pos_net.apply(hv, x, train=False)
+                rot = self.rot_net.apply(rv, x, train=False)
+            if self._int8_lift:
+                hm = jnp.concatenate([pos, rot], axis=-1).astype(dt)
+                _, ml = applies["lift"](lv, hm)
+                acc("lift", ml)
+
+        if amax["pos"] is not None:
+            hv = {**hv, "qparams": merge_qparams(
+                hv.get("qparams"), amax_to_qparams(amax["pos"]))}
+            rv = {**rv, "qparams": merge_qparams(
+                rv.get("qparams"), amax_to_qparams(amax["rot"]))}
+        if amax["lift"] is not None:
+            lv = {**lv, "qparams": merge_qparams(
+                lv.get("qparams"), amax_to_qparams(amax["lift"]))}
+        self._vars = (hv, rv, lv)
+        return self
 
     def heatmaps(self, rgb) -> np.ndarray:
         """Debug path: the concatenated stage-1 heatmap stack."""

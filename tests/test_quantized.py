@@ -234,6 +234,13 @@ class TestCalibratedScales:
         cal = np.asarray(task.eval_step(
             task.prepare_inference(state, calib_batches=[batch]),
             batch)["pred_pose"])
-        # calibrated on the same batch -> scales equal the dynamic ones up
-        # to reduction ordering; outputs agree tightly (cm)
-        np.testing.assert_allclose(dyn, cal, atol=2e-3)
+        # calibration freezes the dynamic scales AND extends int8 to the
+        # 64-channel layer1 convs (quantized only with static scales), so
+        # the two paths differ by that extra quantization — bounded, not
+        # bitwise (random weights; golden-weight deviation is gated by
+        # tools/check_tpu.py)
+        rel = np.linalg.norm(cal - dyn) / max(np.linalg.norm(dyn), 1e-9)
+        # random-weight bound (measures ~0.058 at this tiny config); the
+        # real-weight gate is tools/check_tpu.py: calibrated 0.030 vs
+        # dynamic 0.029 relative deviation on the full-size net
+        assert rel < 0.10, rel

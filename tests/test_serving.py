@@ -150,3 +150,37 @@ class TestPredictorConfigs:
         rgb = rng.normal(size=(1, 2, 256, 256, 3)).astype(np.float32)
         out = pred(rgb)
         assert out.shape == (1, 16, 3) and np.isfinite(out).all()
+
+
+class TestPredictorCalibration:
+    def test_calibrate_installs_scales_and_batch_invariance(self, rng):
+        """Predictor.calibrate: static a_scales land in all three variable
+        trees and per-sample outputs become batch-composition-independent."""
+        import jax
+        import jax.numpy as jnp
+        from egotap_tpu.core.config import Config
+        from egotap_tpu.models.heatmap_net import HeatmapUNet
+        from egotap_tpu.models.lifter import EgoTAPLifter
+        cfg = Config(joint_preset="UnrealEgo", model="egotap_autoencoder",
+                     num_heatmap=15, num_rot_heatmap=15, heatmap_type="sin",
+                     skel_layer="PU", ae_hidden_size=32,
+                     patched_heatmap_ae=True).derive()
+        rgbz = jnp.zeros((1, 2, 256, 256, 3))
+        hv = dict(HeatmapUNet(num_output_maps=15).init(
+            jax.random.PRNGKey(0), rgbz, train=False))
+        rv = dict(HeatmapUNet(num_output_maps=30).init(
+            jax.random.PRNGKey(1), rgbz, train=False))
+        lv = dict(EgoTAPLifter(num_heatmap=15, num_joints=16,
+                               hidden_size=32).init(
+            jax.random.PRNGKey(2), jnp.zeros((1, 64, 64, 90))))
+        pred = Predictor(cfg, hv, rv, lv, bf16=True, int8=True)
+        rgb = rng.normal(size=(2, 2, 256, 256, 3)).astype(np.float32)
+        pred.calibrate([rgb])
+        flat = jax.tree_util.tree_leaves_with_path(
+            pred._vars[0]["qparams"])
+        assert any("a_scale" in jax.tree_util.keystr(p) for p, _ in flat)
+        assert "qparams" in pred._vars[2]  # lifter a_scales
+
+        alone = pred(rgb[:1].repeat(2, axis=0))[0]
+        mixed = pred(np.stack([rgb[0], rgb[1] * 100.0]))[0]
+        np.testing.assert_array_equal(alone, mixed)

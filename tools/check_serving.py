@@ -54,6 +54,7 @@ def main() -> None:
 
     rgb = np.random.default_rng(0).normal(
         size=(batch, 2, cfg.image_size, cfg.image_size, 3)).astype(np.float32)
+    pred.calibrate([rgb])  # static activation scales (serving config)
 
     t0 = time.perf_counter()
     poses = pred(rgb)  # np.asarray readback blocks for real

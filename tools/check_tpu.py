@@ -140,6 +140,24 @@ def check_int8_pipeline():
     print(f"int8 heatmap-net relative output deviation: {rel:.3f}")
     assert rel < 0.1, rel
 
+    # calibrated static scales (the bench/serving config): also quantizes
+    # the 64-channel layer1 convs — deviation vs bf16 must stay bounded
+    import functools
+    calib_apply = jax.jit(functools.partial(
+        q.apply, train=False, mutable=["calib"]))
+    _, mut = calib_apply(variables, rgb.astype(jnp.bfloat16))
+    from egotap_tpu.ops.quant import amax_to_qparams, merge_qparams, \
+        quantize_conv_tree
+    qp = merge_qparams(quantize_conv_tree(variables["params"]),
+                       amax_to_qparams(mut["calib"]))
+    c = jax.jit(lambda v, x: q.apply(
+        v, x.astype(jnp.bfloat16), train=False))(
+        {**variables, "qparams": qp}, rgb)
+    relc = float(jnp.linalg.norm(c.astype(jnp.float32) - a)
+                 / jnp.linalg.norm(a))
+    print(f"int8 heatmap-net CALIBRATED relative deviation: {relc:.3f}")
+    assert relc < 0.12, relc
+
 
 if __name__ == "__main__":
     enable_compilation_cache()
