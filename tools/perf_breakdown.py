@@ -110,9 +110,12 @@ def main():
         state = jax.device_put(state, jax.devices()[0])
     except RuntimeError:
         state = task.init_state(jax.random.PRNGKey(0), iters_per_epoch=1)
-    state = task.prepare_inference(state)
     rgb = jax.random.normal(jax.random.PRNGKey(1),
                             (BATCH, 2, 256, 256, 3), jnp.float32)
+    # int8 mode measures the shipped serving config: calibrated static
+    # activation scales (see bench.py)
+    state = task.prepare_inference(
+        state, calib_batches=[{"input_rgb": rgb}] if int8 else None)
     gt = jax.random.normal(jax.random.PRNGKey(2), (BATCH, 16, 3))
     hm = jax.random.normal(jax.random.PRNGKey(3), (BATCH, 64, 64, 90),
                            jnp.float32)
@@ -132,9 +135,11 @@ def main():
     if "lifter" in which:
         def f_lift(i, state, hm):
             from egotap_tpu.train.tasks import _dtype
+            lv = {"params": state.params, "batch_stats": state.batch_stats}
+            if "lifter_q" in state.frozen:
+                lv["qparams"] = state.frozen["lifter_q"]
             p = task.lifter_eval.apply(
-                {"params": state.params, "batch_stats": state.batch_stats},
-                (hm + i * 1e-6).astype(_dtype(cfg)), train=False)
+                lv, (hm + i * 1e-6).astype(_dtype(cfg)), train=False)
             return jnp.mean(p.astype(jnp.float32))
         results["lifter"] = timed_scan(f_lift, state, hm, label="lifter")
 

@@ -29,8 +29,25 @@ def main():
                                   "upsample", "vit", "fc", "pu"}
     int8 = "int8" in which  # e.g. `perf_layers.py backbone decoder int8`
     which.discard("int8")
+    # `calib`: int8 with CALIBRATED static activation scales (the shipped
+    # serving config; also quantizes 64-channel convs)
+    calib = "calib" in which
+    which.discard("calib")
+    int8 = int8 or calib
     enable_compilation_cache()
     rng = jax.random.PRNGKey(0)
+
+    def with_calib(module, v, x, **kw):
+        if not calib:
+            return v
+        import functools
+        from egotap_tpu.ops.quant import (amax_to_qparams, merge_qparams,
+                                          quantize_conv_tree)
+        _, mut = jax.jit(functools.partial(
+            module.apply, mutable=["calib"], **kw))(v, x)
+        return {**v, "qparams": merge_qparams(
+            quantize_conv_tree(v["params"]),
+            amax_to_qparams(mut["calib"]))}
 
     if {"backbone", "stem", "decoder", "head"} & which:
         from egotap_tpu.models.heatmap_net import HeatmapUNet
@@ -48,6 +65,8 @@ def main():
             enc = ResNetEncoder("resnet18", quant=int8)
             bvars = {"params": variables["params"]["backbone"],
                      "batch_stats": variables["batch_stats"]["backbone"]}
+            bvars = with_calib(enc, bvars,
+                               jnp.zeros((2, 256, 256, 3), DT), train=False)
             def f_bb(i, v, x):
                 flat = (x + i * 1e-6).reshape(B * 2, 256, 256, 3)
                 feats = enc.apply(v, flat, train=False)
@@ -68,6 +87,9 @@ def main():
             timed_scan(f_stem, sv, x, label="stem(2v)")
 
         if "decoder" in which:
+            variables = with_calib(net, variables,
+                                   jnp.zeros((1, 2, 256, 256, 3), DT),
+                                   train=False)
             # decoder given a fake merged pyramid (both views concatenated)
             def f_dec(i, v, x):
                 out = net.apply(v, x + i * 1e-6, train=False)
@@ -124,7 +146,7 @@ def main():
         timed_scan(f_fc, fv, x, label="limbfc")
 
     if "stages" in which:
-        bench_stages(int8)
+        bench_stages(int8, calib)
 
     if "pu" in which:
         from egotap_tpu.models.cells import PUChain
@@ -142,7 +164,7 @@ def main():
         timed_scan(f_pu, pv, xs, br, label="pu_scan")
 
 
-def bench_stages(int8: bool):
+def bench_stages(int8: bool, calib: bool = False):
     """Per-resnet-stage timings (both views of one net, B=32)."""
     import jax
     import jax.numpy as jnp
@@ -168,9 +190,20 @@ def bench_stages(int8: bool):
         with jax.default_device(cpu):
             v = m.init(jax.random.PRNGKey(1), jnp.zeros((1, hw, hw, cin)))
         v = jax.device_put(v, jax.devices()[0])
+        if calib:
+            import functools
+            from egotap_tpu.ops.quant import (amax_to_qparams,
+                                              merge_qparams,
+                                              quantize_conv_tree)
+            _, mut = jax.jit(functools.partial(
+                m.apply, mutable=["calib"]))(v, x[:2])
+            v = {**v, "qparams": merge_qparams(
+                quantize_conv_tree(v["params"]),
+                amax_to_qparams(mut["calib"]))}
         def f(i, v, x):
             return jnp.mean(m.apply(v, x + i * 1e-6).astype(jnp.float32))
-        timed_scan(f, v, x, label=f"{name}{'i8' if int8 else ''}(2v)")
+        tag = "i8c" if calib else ("i8" if int8 else "")
+        timed_scan(f, v, x, label=f"{name}{tag}(2v)")
 
 
 if __name__ == "__main__":
