@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -67,6 +68,13 @@ class BasicBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         dt = x.dtype
         g, q = self.groups, self.quant
+        if q and not train and g == 1:
+            # int8 inference: fold BN into the convs so the dequant
+            # epilogue is one multiply-add instead of the BN chain
+            # (measured 0.51 -> 0.41 ms for one net's layer1, /tmp parity
+            # in tests/test_quantized.py). Identical parameter tree via
+            # the shadow modules.
+            return self._folded_inference(x)
         identity = x
         out = _conv(self.features, 3, self.stride, "conv1", dt, g, q)(x)
         out = _bn("bn1", train, dt)(out)
@@ -78,6 +86,37 @@ class BasicBlock(nn.Module):
                              dt, g, q)(x)
             identity = _bn("downsample_1", train, dt)(identity)
         return nn.relu(out + identity)
+
+    def _folded_inference(self, x: jnp.ndarray) -> jnp.ndarray:
+        """BN-folded int8 inference path; precision per conv follows
+        QConv's rules (in_ch >= 128 dynamic; >= 64 with a calibrated
+        a_scale; otherwise the compute dtype with folded weights)."""
+        from egotap_tpu.ops.fused_layer1 import fold_bn
+        from egotap_tpu.ops.quant import quantized_conv
+        f = self.features
+        in_ch = x.shape[-1]
+
+        def folded_conv(inp, name_conv, name_bn, k, stride):
+            kernel, a_scale = _QConvParams(
+                (k, k, inp.shape[-1], f), name=name_conv)(inp)
+            s, b, m, v = _BNParams(f, name=name_bn)()
+            w, c = fold_bn(kernel, s, b, m, v, BN_EPS)
+            pad = ((k // 2, k // 2),) * 2
+            if a_scale is None and inp.shape[-1] < 128:
+                out = jax.lax.conv_general_dilated(
+                    inp, w.astype(inp.dtype), (stride, stride), pad,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                return out + c.astype(out.dtype)
+            return quantized_conv(inp, w, stride, pad, bias=c,
+                                  a_scale=a_scale)
+
+        out = nn.relu(folded_conv(x, "conv1", "bn1", 3, self.stride))
+        out = folded_conv(out, "conv2", "bn2", 3, 1)
+        identity = x
+        if self.downsample:
+            identity = folded_conv(x, "downsample_0", "downsample_1", 1,
+                                   self.stride)
+        return nn.relu(out + identity.astype(out.dtype))
 
 
 class Bottleneck(nn.Module):
@@ -118,6 +157,22 @@ class _ConvKernelParams(nn.Module):
     def __call__(self):
         return self.param("kernel", nn.initializers.lecun_normal(),
                           self.shape, jnp.float32)
+
+
+class _QConvParams(nn.Module):
+    """nn.Conv-identical kernel param plus the QConv calibration plumbing
+    (calib amax sow / static a_scale read) at the same module path, for
+    paths that consume the kernel as a raw array (BN folding, fused
+    kernels)."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        from egotap_tpu.ops.quant import _calib_or_static
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            self.shape, jnp.float32)
+        return kernel, _calib_or_static(self, x)
 
 
 class _BNParams(nn.Module):
