@@ -86,3 +86,11 @@ def bone_length_loss(pred: jnp.ndarray, gt: jnp.ndarray, parents
     cos = jnp.mean(jnp.sum(jnp.sum(bp * bg, axis=-1) / (np_ * ng_), axis=-1))
     length = jnp.mean(jnp.sum((np_ - ng_) ** 2, axis=-1))
     return cos, length
+
+
+def l1_regularizer(params) -> jnp.ndarray:
+    """Sum of absolute values over a parameter pytree (reference
+    utils/loss.py:15-19 — defined upstream but never invoked by any
+    shipped config; provided for drop-in parity with custom recipes)."""
+    import jax
+    return sum(jnp.sum(jnp.abs(p)) for p in jax.tree.leaves(params))

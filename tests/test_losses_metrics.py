@@ -136,3 +136,10 @@ class TestMetrics:
         acc.update({"mpjpe": np.array([3.0])})
         assert acc.means()["mpjpe"] == pytest.approx(2.0)
         assert acc.count == 3
+
+
+def test_l1_regularizer():
+    import jax.numpy as jnp
+    from egotap_tpu.train.losses import l1_regularizer
+    params = {"a": jnp.array([1.0, -2.0]), "b": {"w": jnp.array([[3.0]])}}
+    assert float(l1_regularizer(params)) == 6.0
