@@ -72,9 +72,19 @@ class ViTBlock(nn.Module):
         h = self.num_heads
 
         y = nn.LayerNorm(epsilon=LN_EPS, name="ln_before", dtype=x.dtype)(x)
-        q = self._dense(d, "query", x.dtype)(y)
-        k = self._dense(d, "key", x.dtype)(y)
-        v = self._dense(d, "value", x.dtype)(y)
+        if self.quant:
+            # quantize the LN output ONCE for all three projections (the
+            # per-QDense quantize would re-read y from HBM three times;
+            # the stub's single pass fuses into the LayerNorm producer)
+            from egotap_tpu.ops.quant import QuantStub
+            pre_q = QuantStub(name="qkv_in")(y)
+            q = self._dense(d, "query", x.dtype)(y, pre_q=pre_q)
+            k = self._dense(d, "key", x.dtype)(y, pre_q=pre_q)
+            v = self._dense(d, "value", x.dtype)(y, pre_q=pre_q)
+        else:
+            q = self._dense(d, "query", x.dtype)(y)
+            k = self._dense(d, "key", x.dtype)(y)
+            v = self._dense(d, "value", x.dtype)(y)
 
         # q/k/v stay in projection layout (B, S, H*Dh): the packed kernel
         # slices heads internally, so no (B,H,S,D) transposes are needed

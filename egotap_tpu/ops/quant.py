@@ -43,6 +43,18 @@ def quantize_weights(kernel: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return wq, w_scale
 
 
+def quantize_activation(x: jnp.ndarray,
+                        a_scale: Optional[jnp.ndarray] = None
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """x (compute dtype) -> (int8 xq, per-tensor scale). Uses the given
+    static calibrated scale, or a dynamic max|x|/127 when None."""
+    xf = x.astype(jnp.float32)
+    if a_scale is None:
+        a_scale = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
+    xq = jnp.clip(jnp.round(xf / a_scale), -127, 127).astype(jnp.int8)
+    return xq, a_scale
+
+
 def quantized_conv(x: jnp.ndarray, kernel: jnp.ndarray,
                    stride: Union[int, Tuple[int, int]] = 1,
                    padding: Sequence[Tuple[int, int]] = ((0, 0), (0, 0)),
@@ -59,10 +71,7 @@ def quantized_conv(x: jnp.ndarray, kernel: jnp.ndarray,
     wq, w_scale = precomputed if precomputed is not None \
         else quantize_weights(kernel)
 
-    xf = x.astype(jnp.float32)
-    if a_scale is None:
-        a_scale = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
-    xq = jnp.clip(jnp.round(xf / a_scale), -127, 127).astype(jnp.int8)
+    xq, a_scale = quantize_activation(x, a_scale)
 
     acc = jax.lax.conv_general_dilated(
         xq, wq, stride, tuple(padding),
@@ -79,9 +88,14 @@ def quantized_dense(x: jnp.ndarray, kernel: jnp.ndarray,
                     bias: Optional[jnp.ndarray] = None,
                     precomputed: Optional[Tuple[jnp.ndarray, jnp.ndarray]]
                     = None,
-                    a_scale: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                    a_scale: Optional[jnp.ndarray] = None,
+                    pre_q: Optional[Tuple[jnp.ndarray, jnp.ndarray]]
+                    = None) -> jnp.ndarray:
     """int8 matmul with per-column weight scales and dynamic or static
-    (`a_scale`) per-tensor activation scales; x (..., K), kernel (K, N)."""
+    (`a_scale`) per-tensor activation scales; x (..., K), kernel (K, N).
+    `pre_q` supplies an already-quantized (xq, a_scale) input — several
+    consumers of one activation (e.g. q/k/v on a LayerNorm output) then
+    share a single quantize pass instead of each re-reading x from HBM."""
     if precomputed is not None:
         wq, w_scale = precomputed
     else:
@@ -89,10 +103,10 @@ def quantized_dense(x: jnp.ndarray, kernel: jnp.ndarray,
         w_scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0) / 127.0, 1e-12)
         wq = jnp.clip(jnp.round(w / w_scale), -127, 127).astype(jnp.int8)
 
-    xf = x.astype(jnp.float32)
-    if a_scale is None:
-        a_scale = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
-    xq = jnp.clip(jnp.round(xf / a_scale), -127, 127).astype(jnp.int8)
+    if pre_q is not None:
+        xq, a_scale = pre_q
+    else:
+        xq, a_scale = quantize_activation(x, a_scale)
 
     acc = jax.lax.dot_general(
         xq, wq, (((xq.ndim - 1,), (0,)), ((), ())),
@@ -169,13 +183,16 @@ def merge_qparams(*trees: dict) -> dict:
 
 class QDense(nn.Module):
     """Drop-in nn.Dense replacement running `quantized_dense` with the
-    identical parameter tree."""
+    identical parameter tree. Pass ``pre_q=(xq, a_scale)`` (from a shared
+    `QuantStub`) to skip this module's own input quantize pass."""
 
     features: int
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 pre_q: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
+                 ) -> jnp.ndarray:
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (x.shape[-1], self.features), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros,
@@ -185,9 +202,23 @@ class QDense(nn.Module):
         if self.has_variable("qparams", "kernel_q"):
             pre = (self.get_variable("qparams", "kernel_q"),
                    self.get_variable("qparams", "scale"))
-        a_scale = _calib_or_static(self, x)
+        a_scale = _calib_or_static(self, x) if pre_q is None else None
         return quantized_dense(x, kernel, bias, precomputed=pre,
-                               a_scale=a_scale)
+                               a_scale=a_scale, pre_q=pre_q)
+
+
+class QuantStub(nn.Module):
+    """Quantize one activation ONCE for several downstream int8 consumers
+    (e.g. the ViT's q/k/v projections all read the same LayerNorm output).
+    Owns its own calib/qparams 'a_scale' entry; returns (xq, a_scale) to
+    feed `QDense(..., pre_q=...)`. With a static calibrated scale the
+    single quantize fuses into the producer and replaces N per-consumer
+    HBM quantize passes."""
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        return quantize_activation(x, _calib_or_static(self, x))
 
 
 def quantize_conv_tree(params) -> dict:

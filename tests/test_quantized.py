@@ -244,3 +244,39 @@ class TestCalibratedScales:
         # real-weight gate is tools/check_tpu.py: calibrated 0.030 vs
         # dynamic 0.029 relative deviation on the full-size net
         assert rel < 0.10, rel
+
+
+class TestSharedQuantStub:
+    """QuantStub + QDense(pre_q=...): one quantize pass shared by several
+    consumers (the ViT q/k/v path) must reproduce the per-module quantize
+    exactly — the scale is the same max|x| either way."""
+
+    def test_pre_q_matches_per_module_quantize(self):
+        from egotap_tpu.ops.quant import QDense, QuantStub
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 32))
+        d = QDense(16)
+        v = d.init(jax.random.PRNGKey(1), x)
+        solo = d.apply(v, x)
+        stub = QuantStub()
+        pre_q = stub.apply(stub.init(jax.random.PRNGKey(2), x), x)
+        shared = d.apply(v, x, pre_q=pre_q)
+        np.testing.assert_array_equal(np.asarray(solo), np.asarray(shared))
+
+    def test_vit_block_quant_sows_one_qkv_calib_entry(self):
+        from egotap_tpu.models.vit import ViTBlock
+        from egotap_tpu.ops.quant import amax_to_qparams
+        blk = ViTBlock(hidden_size=128, num_heads=1, mlp_dim=256,
+                       quant=True)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 128))
+        v = blk.init(jax.random.PRNGKey(1), x)
+        dyn, mut = blk.apply(v, x, mutable=["calib"])
+        calib = mut["calib"]
+        # q/k/v share the stub's single entry; their own sows are skipped
+        assert "qkv_in" in calib
+        for name in ("query", "key", "value"):
+            assert name not in calib
+        # installing the calibrated scales reproduces the dynamic result
+        # exactly (calibrated on this very tensor)
+        static = blk.apply({**dict(v), "qparams": amax_to_qparams(calib)}, x)
+        np.testing.assert_allclose(np.asarray(dyn), np.asarray(static),
+                                   atol=1e-5)

@@ -76,3 +76,45 @@ class TestUpsampleEdges:
         # align-corners: endpoints preserved, monotonic in between
         assert out[0] == 0.0 and out[-1] == 3.0
         assert np.all(np.diff(out) >= 0)
+
+
+class TestUpsampleOnePassKernel:
+    """The one-pass Pallas upsample (bf16 TPU path) vs the two-pass einsum
+    formulation: same linear map, interpret-mode check."""
+
+    def test_interpret_matches_two_pass(self):
+        from egotap_tpu.ops.upsample import (_upsample_pallas,
+                                             _upsample_two_pass)
+        rng = np.random.default_rng(0)
+        for h, w, c in ((8, 8, 128), (16, 16, 256), (8, 16, 64)):
+            x = jnp.asarray(rng.standard_normal((2, h, w, c)),
+                            jnp.bfloat16)
+            ref = np.asarray(_upsample_two_pass(x), np.float32)
+            got = np.asarray(_upsample_pallas(x, interpret=True),
+                             np.float32)
+            scale = np.abs(ref).max()
+            assert np.abs(got - ref).max() < 2e-2 * scale
+
+    def test_f32_path_unchanged(self):
+        """f32 inputs stay on the HIGHEST-precision two-pass formulation
+        (the checkpoint-parity eval path)."""
+        from egotap_tpu.ops.upsample import _upsample_two_pass
+        x = jnp.asarray(np.random.default_rng(1)
+                        .standard_normal((1, 8, 8, 64)), jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(upsample2x_align_corners(x)),
+            np.asarray(_upsample_two_pass(x)))
+
+    def test_grad_matches_einsum_path(self, monkeypatch):
+        """custom_vjp bwd (transposed interpolation) == einsum autodiff
+        (one-pass path force-enabled; it ships off by default)."""
+        import jax
+        from egotap_tpu.ops import upsample as up
+        monkeypatch.setattr(up, "ONE_PASS_ENABLE", True)
+        x = jnp.asarray(np.random.default_rng(2)
+                        .standard_normal((1, 8, 8, 64)), jnp.bfloat16)
+        f = lambda t: jnp.sum(up.upsample2x_align_corners(t) ** 2)
+        g = lambda t: jnp.sum(up._upsample_two_pass(t) ** 2)
+        ga = np.asarray(jax.grad(f)(x), np.float32)
+        gb = np.asarray(jax.grad(g)(x), np.float32)
+        np.testing.assert_allclose(ga, gb, rtol=0, atol=2e-2 * np.abs(gb).max())
