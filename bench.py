@@ -36,7 +36,7 @@ K = 16
 REPEATS = 3
 
 
-def main(bf16_only: bool = False) -> None:
+def main(bf16_only: bool = False, batch: int = BATCH) -> None:
     """Default: the serving config (bf16 + calibrated int8). `bf16_only`
     (CLI arg "bf16") times the precision-parity bf16 path instead —
     recorded in BASELINE.md each round."""
@@ -57,7 +57,7 @@ def main(bf16_only: bool = False) -> None:
         model="egotap_autoencoder", num_heatmap=15, num_rot_heatmap=15,
         heatmap_type="sin", skel_layer="PU", ae_hidden_size=128,
         patched_heatmap_ae=True, load_size_heatmap=(64, 64),
-        batch_size=BATCH, use_amp=True, niter=1, niter_decay=15,
+        batch_size=batch, use_amp=True, niter=1, niter_decay=15,
         int8_heatmap_inference=not bf16_only,
         int8_lifter_inference=not bf16_only)
 
@@ -71,7 +71,7 @@ def main(bf16_only: bool = False) -> None:
 
     rgb = jax.random.normal(
         jax.random.PRNGKey(1),
-        (BATCH, 2, cfg.image_size, cfg.image_size, 3), jnp.float32)
+        (batch, 2, cfg.image_size, cfg.image_size, 3), jnp.float32)
     # pre-quantized int8 weights + CALIBRATED static activation scales
     # (ops/quant.py): removes the dynamic max-reduction HBM passes and
     # extends int8 to the 64-channel layer1 convs (1.07 ms bf16 ->
@@ -81,11 +81,11 @@ def main(bf16_only: bool = False) -> None:
         jax.random.PRNGKey(10 + i), rgb.shape)} for i in range(2)]
     state = task.prepare_inference(
         state, calib_batches=None if bf16_only else calib)
-    gt_pose = jax.random.normal(jax.random.PRNGKey(2), (BATCH, 16, 3))
+    gt_pose = jax.random.normal(jax.random.PRNGKey(2), (batch, 16, 3))
 
     def one_eval(state, rgb, gt_pose):
-        batch = {"input_rgb": rgb, "gt_local_pose": gt_pose}
-        out = task.eval_step(state, batch)
+        data = {"input_rgb": rgb, "gt_local_pose": gt_pose}
+        out = task.eval_step(state, data)
         return (jnp.mean(out["pred_pose"])
                 + jnp.mean(out["metrics"]["pa_mpjpe"]))
 
@@ -114,10 +114,12 @@ def main(bf16_only: bool = False) -> None:
         best = min(best, time.perf_counter() - t0)
 
     per_iter = max(best - overhead, 1e-9) / K
-    pairs_per_sec = BATCH / per_iter
+    pairs_per_sec = batch / per_iter
 
+    suffix = ("_bf16" if bf16_only else "") + (
+        "" if batch == BATCH else f"_b{batch}")
     print(json.dumps({
-        "metric": "stereo_pairs_per_sec" + ("_bf16" if bf16_only else ""),
+        "metric": "stereo_pairs_per_sec" + suffix,
         "value": round(pairs_per_sec, 2),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / REFERENCE_PAIRS_PER_SEC, 3),
@@ -125,4 +127,8 @@ def main(bf16_only: bool = False) -> None:
 
 
 if __name__ == "__main__":
-    main(bf16_only="bf16" in sys.argv[1:])
+    _batch = BATCH
+    for a in sys.argv[1:]:
+        if a.startswith("batch="):
+            _batch = int(a.split("=", 1)[1])
+    main(bf16_only="bf16" in sys.argv[1:], batch=_batch)

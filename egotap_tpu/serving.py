@@ -65,6 +65,8 @@ class Predictor:
                                 quantize_conv_tree(rot_heatmap_vars["params"])}
         self._int8_hm, self._int8_lift = int8_hm, int8_lift
         self._vars = (heatmap_vars, rot_heatmap_vars, lifter_vars)
+        self._mesh = None
+        self._batch_sh = None
         # variables are passed as jit ARGUMENTS, never closed over: a
         # closure would inline ~100M params as HLO constants and compile
         # pathologically slowly (the __graft_entry__.py:39-41 lesson)
@@ -81,7 +83,34 @@ class Predictor:
 
     def __call__(self, rgb) -> np.ndarray:
         """rgb: (B, views, H, W, 3) ImageNet-normalized float32."""
-        return np.asarray(self._fn(self._vars, jnp.asarray(rgb)))
+        x = jnp.asarray(rgb)
+        if self._mesh is not None:
+            n = self._mesh.devices.size
+            if x.shape[0] % n:
+                raise ValueError(
+                    f"batch size {x.shape[0]} not divisible by the "
+                    f"{n}-device serving mesh; pad the batch or re-shard")
+            x = jax.device_put(x, self._batch_sh)
+        return np.asarray(self._fn(self._vars, x))
+
+    def shard(self, num_devices: int = 0) -> "Predictor":
+        """Data-parallel serving over a local device mesh: parameters
+        replicated, the batch dim split across ``num_devices`` chips
+        (0 = all local devices) via `jax.sharding`; XLA partitions the
+        one fused program and per-chip results gather into the returned
+        global pose array. Per-sample outputs are identical to the
+        single-device predictor (eval-mode BN, no cross-batch coupling;
+        int8 modes should `calibrate()` first so activation scales are
+        static). Batch sizes must divide evenly across the mesh.
+        TPU-native counterpart of the reference's dead --distributed flag
+        (options/base_options.py:81). Returns self."""
+        from egotap_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                              replicate)
+        self._mesh = make_mesh(num_data=num_devices
+                               or len(jax.devices()))
+        self._batch_sh = batch_sharding(self._mesh)
+        self._vars = replicate(self._vars, self._mesh)
+        return self
 
     def calibrate(self, rgb_batches) -> "Predictor":
         """Install STATIC activation scales calibrated on representative
@@ -137,6 +166,11 @@ class Predictor:
             lv = {**lv, "qparams": merge_qparams(
                 lv.get("qparams"), amax_to_qparams(amax["lift"]))}
         self._vars = (hv, rv, lv)
+        if self._mesh is not None:
+            # keep every leaf (incl. the fresh a_scales) mesh-replicated so
+            # the partitioned program sees one consistent input sharding
+            from egotap_tpu.parallel.mesh import replicate
+            self._vars = replicate(self._vars, self._mesh)
         return self
 
     def heatmaps(self, rgb) -> np.ndarray:

@@ -152,6 +152,64 @@ class TestPredictorConfigs:
         assert out.shape == (1, 16, 3) and np.isfinite(out).all()
 
 
+class TestShardedServing:
+    """Predictor.shard: data-parallel serving over the 8-virtual-device
+    CPU mesh (conftest); parity with the single-device predictor."""
+
+    @pytest.fixture(scope="class")
+    def small_pred_parts(self, tmp_path_factory):
+        import jax
+        from egotap_tpu.data.synthetic import generate_dataset, \
+            synthetic_config
+        from egotap_tpu.train.tasks import LifterTask
+        tmp = tmp_path_factory.mktemp("shard_srv")
+        root = str(tmp / "data")
+        generate_dataset(root, "UnrealEgo", num_sequences=1,
+                         frames_per_seq=4, image_size=16)
+        cfg = synthetic_config(root, model="egotap_autoencoder",
+                               num_heatmap=15, num_rot_heatmap=15,
+                               heatmap_type="sin", skel_layer="PU",
+                               ae_hidden_size=32,
+                               load_size_heatmap=(16, 16), batch_size=2,
+                               log_dir=str(tmp / "log"),
+                               experiment_name="shard")
+        task = LifterTask(cfg)
+        state = task.init_state(jax.random.PRNGKey(0), 1)
+        frozen = state.frozen
+        lv = {"params": state.params, "batch_stats": state.batch_stats}
+        return cfg, dict(frozen["heatmap"]), dict(frozen["rot_heatmap"]), lv
+
+    def test_sharded_matches_single_device(self, small_pred_parts, rng):
+        cfg, hv, rv, lv = small_pred_parts
+        rgb = rng.normal(size=(8, 2, 64, 64, 3)).astype(np.float32)
+        single = Predictor(cfg, hv, rv, lv, bf16=False, int8=False)
+        ref = single(rgb)
+        sharded = Predictor(cfg, hv, rv, lv, bf16=False,
+                            int8=False).shard(4)
+        assert sharded._mesh is not None
+        assert sharded._mesh.devices.size == 4
+        out = sharded(rgb)
+        np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+    def test_indivisible_batch_raises(self, small_pred_parts, rng):
+        cfg, hv, rv, lv = small_pred_parts
+        pred = Predictor(cfg, hv, rv, lv, bf16=False, int8=False).shard(4)
+        rgb = rng.normal(size=(3, 2, 64, 64, 3)).astype(np.float32)
+        with pytest.raises(ValueError, match="not divisible"):
+            pred(rgb)
+
+    def test_calibrate_then_shard_int8(self, small_pred_parts, rng):
+        """int8 + calibrated static scales compose with the mesh in either
+        order; outputs stay finite and batch-invariant per sample."""
+        cfg, hv, rv, lv = small_pred_parts
+        rgb = rng.normal(size=(8, 2, 64, 64, 3)).astype(np.float32)
+        pred = Predictor(cfg, dict(hv), dict(rv), dict(lv), bf16=True,
+                         int8=True).shard(2)
+        pred.calibrate([rgb])
+        out = pred(rgb)
+        assert out.shape == (8, 16, 3) and np.isfinite(out).all()
+
+
 class TestPredictorCalibration:
     def test_calibrate_installs_scales_and_batch_invariance(self, rng):
         """Predictor.calibrate: static a_scales land in all three variable
