@@ -249,6 +249,43 @@ def quantize_conv_tree(params) -> dict:
     return jax.jit(walk)(params)
 
 
+def quantize_dense_tree(params) -> dict:
+    """Dense counterpart of `quantize_conv_tree`: every wide 2D kernel
+    (in_dim >= 64, i.e. everything QDense would quantize) maps to
+    {kernel_q, scale} at the same module path. Entries at paths without a
+    QDense (e.g. the ViT patch_proj nn.Dense or PU cell matmuls) are
+    simply never read. Feeding the result through the 'qparams'
+    collection removes the per-step weight rounding AND the f32 weight
+    reads from the hot path (the lifter ViT reads ~48 MB of f32 dense
+    kernels per layer per step otherwise; int8 is a quarter of that)."""
+    import jax
+
+    def eligible(node):
+        k = node.get("kernel")
+        return (k is not None and not isinstance(k, dict)
+                and getattr(k, "ndim", 0) == 2 and k.shape[0] >= 64)
+
+    def quantize(kernel):
+        w = kernel.astype(jnp.float32)
+        w_scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0) / 127.0, 1e-12)
+        wq = jnp.clip(jnp.round(w / w_scale), -127, 127).astype(jnp.int8)
+        return wq, w_scale
+
+    def walk(node):
+        if eligible(node):
+            wq, ws = quantize(node["kernel"])
+            return {"kernel_q": wq, "scale": ws}
+        out = {}
+        for k, v in node.items():
+            if isinstance(v, dict):
+                sub = walk(v)
+                if sub:
+                    out[k] = sub
+        return out
+
+    return jax.jit(walk)(params)
+
+
 class QConv(nn.Module):
     """Drop-in nn.Conv replacement running `quantized_conv`; declares the
     identical parameter tree (kernel [+ bias]) so the same variables serve

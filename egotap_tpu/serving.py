@@ -63,6 +63,10 @@ class Predictor:
                             quantize_conv_tree(heatmap_vars["params"])}
             rot_heatmap_vars = {**rot_heatmap_vars, "qparams":
                                 quantize_conv_tree(rot_heatmap_vars["params"])}
+        if int8_lift:
+            from egotap_tpu.ops.quant import quantize_dense_tree
+            lifter_vars = {**lifter_vars, "qparams":
+                           quantize_dense_tree(lifter_vars["params"])}
         self._int8_hm, self._int8_lift = int8_hm, int8_lift
         self._vars = (heatmap_vars, rot_heatmap_vars, lifter_vars)
         self._mesh = None

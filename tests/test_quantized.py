@@ -129,6 +129,68 @@ class TestStaticWeightQuant:
                                    atol=1e-5)
         assert jax.tree_util.tree_leaves(qtree), "no conv was pre-quantized"
 
+    def test_dense_qparams_path_bitwise_equals_dynamic(self):
+        """Pre-quantized dense weights (quantize_dense_tree) reproduce
+        QDense's on-the-fly rounding exactly."""
+        from flax import linen as nn
+
+        from egotap_tpu.ops.quant import QDense, quantize_dense_tree
+
+        class Tower(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                x = QDense(96, name="a")(x)
+                x = nn.relu(x)
+                return QDense(32, name="b")(x)
+
+        m = Tower()
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 128))
+        v = dict(m.init(jax.random.PRNGKey(1), x))
+        dyn = m.apply(v, x)
+        qtree = quantize_dense_tree(v["params"])
+        assert set(qtree["a"]) == {"kernel_q", "scale"}
+        static = m.apply({**v, "qparams": qtree}, x)
+        np.testing.assert_allclose(np.asarray(dyn), np.asarray(static),
+                                   atol=1e-5)
+
+    def test_dense_tree_skips_narrow_and_conv_kernels(self):
+        from egotap_tpu.ops.quant import quantize_dense_tree
+        params = {
+            "narrow": {"kernel": jnp.ones((32, 8))},       # in_dim < 64
+            "conv": {"kernel": jnp.ones((3, 3, 64, 8))},   # 4D
+            "wide": {"kernel": jnp.ones((64, 8)),
+                     "bias": jnp.zeros((8,))},
+        }
+        qtree = quantize_dense_tree(params)
+        assert list(qtree) == ["wide"]
+
+    def test_prepare_inference_prequantizes_lifter(self, tmp_path):
+        """int8_lifter_inference installs pre-quantized dense weights even
+        without calibration batches, and the eval output is unchanged
+        (same rounding, hoisted off the step)."""
+        from egotap_tpu.data.synthetic import synthetic_config
+        from egotap_tpu.train.tasks import LifterTask
+        cfg = synthetic_config(
+            str(tmp_path / "d"), "UnrealEgo", model="egotap_autoencoder",
+            num_heatmap=15, num_rot_heatmap=15, heatmap_type="sin",
+            skel_layer="PU", ae_hidden_size=32, patched_heatmap_ae=True,
+            load_size_heatmap=(16, 16), batch_size=2, niter=1,
+            niter_decay=1, int8_lifter_inference=True)
+        task = LifterTask(cfg)
+        state = task.init_state(jax.random.PRNGKey(0), iters_per_epoch=1)
+        batch = {
+            "input_rgb": jax.random.normal(jax.random.PRNGKey(2),
+                                           (2, 2, 64, 64, 3)),
+            "gt_local_pose": jnp.zeros((2, 16, 3)),
+        }
+        base = np.asarray(task.eval_step(state, batch)["pred_pose"])
+        prepped = task.prepare_inference(state)
+        flat = jax.tree_util.tree_leaves_with_path(
+            prepped.frozen["lifter_q"])
+        assert any("kernel_q" in jax.tree_util.keystr(p) for p, _ in flat)
+        got = np.asarray(task.eval_step(prepped, batch)["pred_pose"])
+        np.testing.assert_allclose(base, got, atol=1e-4)
+
     def test_prepare_inference_roundtrip(self, tmp_path):
         from egotap_tpu.data.synthetic import synthetic_config
         from egotap_tpu.train.tasks import LifterTask

@@ -122,15 +122,23 @@ def main():
 
     if "vit" in which:
         from egotap_tpu.models.vit import GridViT
-        vit = GridViT(num_tiles=30, channels=1)
+        vit = GridViT(num_tiles=30, channels=1, quant=int8)
         x = jax.random.normal(rng, (B, 30, 1, 64, 64), DT)
         cpu = jax.local_devices(backend="cpu")[0]
         with jax.default_device(cpu):
             vv = vit.init(jax.random.PRNGKey(1), jnp.zeros((1, 30, 1, 64, 64)))
         vv = jax.device_put(vv, jax.devices()[0])
+        if calib:
+            import functools
+            from egotap_tpu.ops.quant import amax_to_qparams
+            _, mut = jax.jit(functools.partial(
+                vit.apply, mutable=["calib"]))(vv, x)
+            vv = {**vv, "qparams": amax_to_qparams(mut["calib"])}
         def f_vit(i, v, x):
             return jnp.mean(vit.apply(v, x + i * 1e-6).astype(jnp.float32))
-        timed_scan(f_vit, vv, x, label="gridvit")
+        tag = {(False, False): "", (True, False): "_i8",
+               (True, True): "_i8c"}[(int8, calib)]
+        timed_scan(f_vit, vv, x, label="gridvit" + tag)
 
     if "fc" in which:
         from egotap_tpu.models.encoders import LimbFCEncoder
