@@ -126,9 +126,38 @@ def main(bf16_only: bool = False, batch: int = BATCH) -> None:
     }))
 
 
+def _wait_for_backend(max_wait_s: float = 1800.0) -> None:
+    """The CI TPU relay occasionally drops for minutes at a time (backend
+    init then raises 'Unavailable'). Probe device availability in a
+    SUBPROCESS (a failed init poisons a process's jax backend cache) and
+    wait, bounded, for the relay to recover before the real run — so a
+    transient outage at measurement time degrades to a delay instead of a
+    lost benchmark. No-op overhead (~2 s) when the backend is healthy."""
+    import subprocess
+    deadline = time.time() + max_wait_s
+    probe = ("import jax, jax.numpy as jnp; "
+             "print(float(jnp.sum(jnp.ones((2,))))) ")
+    while True:
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, timeout=300)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            print("bench.py: device backend still unavailable after "
+                  f"{max_wait_s:.0f}s of retries", file=sys.stderr)
+            return  # let the real run surface the actual error
+        print("bench.py: device backend unavailable; retrying...",
+              file=sys.stderr)
+        time.sleep(60)
+
+
 if __name__ == "__main__":
     _batch = BATCH
     for a in sys.argv[1:]:
         if a.startswith("batch="):
             _batch = int(a.split("=", 1)[1])
+    _wait_for_backend()
     main(bf16_only="bf16" in sys.argv[1:], batch=_batch)
