@@ -5,9 +5,10 @@ commented-out DataParallel; reference options/base_options.py:81,
 model/network_utils.py:73, SURVEY §2.7/§5.8). Here data parallelism is
 first-class and TPU-native:
 
-  * a `Mesh` over ('data', 'model') axes — model is size 1 today (the
-    networks are 10-100M params), but the axis name is plumbed so tensor
-    parallelism of the ViT MLP is a config change, not a rewrite;
+  * a `Mesh` over ('data', 'model') axes — training uses model=1 (the
+    networks are 10-100M params; DP saturates ICI first), and serving
+    puts the 'model' axis to work: `Predictor.shard(num_model=N)` shards
+    the lifter ViT Megatron-style over it (`parallel/tp.py`);
   * batches sharded over 'data' with `NamedSharding`, parameters
     replicated; under `jit` XLA inserts the gradient all-reduce (psum)
     over ICI automatically;

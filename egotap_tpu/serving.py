@@ -71,6 +71,7 @@ class Predictor:
         self._vars = (heatmap_vars, rot_heatmap_vars, lifter_vars)
         self._mesh = None
         self._batch_sh = None
+        self._place_vars = None
         # variables are passed as jit ARGUMENTS, never closed over: a
         # closure would inline ~100M params as HLO constants and compile
         # pathologically slowly (the __graft_entry__.py:39-41 lesson)
@@ -97,23 +98,39 @@ class Predictor:
             x = jax.device_put(x, self._batch_sh)
         return np.asarray(self._fn(self._vars, x))
 
-    def shard(self, num_devices: int = 0) -> "Predictor":
-        """Data-parallel serving over a local device mesh: parameters
-        replicated, the batch dim split across ``num_devices`` chips
-        (0 = all local devices) via `jax.sharding`; XLA partitions the
-        one fused program and per-chip results gather into the returned
-        global pose array. Per-sample outputs are identical to the
-        single-device predictor (eval-mode BN, no cross-batch coupling;
-        int8 modes should `calibrate()` first so activation scales are
-        static). Batch sizes must divide evenly across the mesh.
-        TPU-native counterpart of the reference's dead --distributed flag
-        (options/base_options.py:81). Returns self."""
+    def shard(self, num_devices: int = 0,
+              num_model: int = 1) -> "Predictor":
+        """Multi-chip serving over a local ('data', 'model') device mesh:
+        the batch dim splits across ``num_devices`` data shards (0 = all
+        local devices / num_model) and, with ``num_model > 1``, the lifter
+        ViT's projection weights shard column-/row-parallel over the
+        'model' axis (Megatron-style, `parallel/tp.py`) so each chip holds
+        1/num_model of the big matmuls — XLA partitions the one fused
+        program and inserts the ICI collectives. Per-sample outputs are
+        identical to the single-device predictor (eval-mode BN, no
+        cross-batch coupling; int8 modes should `calibrate()` first so
+        activation scales are static). Batch sizes must divide evenly
+        across the data axis. TPU-native counterpart of the reference's
+        dead --distributed flag (options/base_options.py:81). Returns
+        self."""
         from egotap_tpu.parallel.mesh import (batch_sharding, make_mesh,
                                               replicate)
-        self._mesh = make_mesh(num_data=num_devices
-                               or len(jax.devices()))
+        from egotap_tpu.parallel.tp import shard_lifter_vars
+        self._mesh = make_mesh(
+            num_data=num_devices or len(jax.devices()) // num_model,
+            num_model=num_model)
         self._batch_sh = batch_sharding(self._mesh)
-        self._vars = replicate(self._vars, self._mesh)
+
+        def place(varstup):
+            hv, rv, lv = varstup
+            hv = replicate(hv, self._mesh)
+            rv = replicate(rv, self._mesh)
+            lv = shard_lifter_vars(lv, self._mesh) if num_model > 1 \
+                else replicate(lv, self._mesh)
+            return hv, rv, lv
+
+        self._place_vars = place
+        self._vars = place(self._vars)
         return self
 
     def calibrate(self, rgb_batches) -> "Predictor":
@@ -171,10 +188,10 @@ class Predictor:
                 lv.get("qparams"), amax_to_qparams(amax["lift"]))}
         self._vars = (hv, rv, lv)
         if self._mesh is not None:
-            # keep every leaf (incl. the fresh a_scales) mesh-replicated so
-            # the partitioned program sees one consistent input sharding
-            from egotap_tpu.parallel.mesh import replicate
-            self._vars = replicate(self._vars, self._mesh)
+            # re-place every leaf (incl. the fresh a_scales) on the mesh —
+            # replicated or TP-sharded exactly as shard() laid them out —
+            # so the partitioned program sees one consistent sharding
+            self._vars = self._place_vars(self._vars)
         return self
 
     def heatmaps(self, rgb) -> np.ndarray:
