@@ -55,6 +55,33 @@ def quantize_activation(x: jnp.ndarray,
     return xq, a_scale
 
 
+def _conv1x1_as_dot() -> bool:
+    """Experimental: lower 1x1 convs to an explicit reshape + dot_general
+    instead of lax.conv (probing whether XLA's small-spatial 1x1 int8 conv
+    lowering is the decoder-skip bottleneck, tools/probe_1x1.py). Read at
+    trace time so tools/tests can toggle per-jit."""
+    import os
+    return os.environ.get("EGOTAP_1X1_AS_DOT", "0") == "1"
+
+
+def _is_1x1(kernel_hw: Tuple[int, int],
+            padding: Sequence[Tuple[int, int]], groups: int) -> bool:
+    return (kernel_hw == (1, 1) and groups == 1
+            and tuple(map(tuple, padding)) == ((0, 0), (0, 0)))
+
+
+def _dot_1x1(x: jnp.ndarray, w: jnp.ndarray,
+             stride: Tuple[int, int], out_dtype) -> jnp.ndarray:
+    """1x1/VALID conv == strided subsample + matmul over flattened pixels."""
+    if stride != (1, 1):
+        x = x[:, ::stride[0], ::stride[1], :]
+    b, h, wd, c = x.shape
+    acc = jax.lax.dot_general(
+        x.reshape(b * h * wd, c), w.reshape(c, -1),
+        (((1,), (0,)), ((), ())), preferred_element_type=out_dtype)
+    return acc.reshape(b, h, wd, -1)
+
+
 def quantized_conv(x: jnp.ndarray, kernel: jnp.ndarray,
                    stride: Union[int, Tuple[int, int]] = 1,
                    padding: Sequence[Tuple[int, int]] = ((0, 0), (0, 0)),
@@ -73,11 +100,14 @@ def quantized_conv(x: jnp.ndarray, kernel: jnp.ndarray,
 
     xq, a_scale = quantize_activation(x, a_scale)
 
-    acc = jax.lax.conv_general_dilated(
-        xq, wq, stride, tuple(padding),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=groups,
-        preferred_element_type=jnp.int32)
+    if _is_1x1(wq.shape[:2], padding, groups) and _conv1x1_as_dot():
+        acc = _dot_1x1(xq, wq, stride, jnp.int32)
+    else:
+        acc = jax.lax.conv_general_dilated(
+            xq, wq, stride, tuple(padding),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups,
+            preferred_element_type=jnp.int32)
     out = acc.astype(jnp.float32) * (a_scale * w_scale)
     if bias is not None:
         out = out + bias.astype(jnp.float32)
@@ -319,10 +349,14 @@ class QConv(nn.Module):
             # tools/bench_layer1.py), so 64-wide convs quantize once
             # calibration installs a_scale. The 3-channel stem always
             # stays in the compute dtype.
-            out = jax.lax.conv_general_dilated(
-                x, kernel.astype(x.dtype), (self.stride, self.stride), pad,
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                feature_group_count=self.groups)
+            if _is_1x1((k, k), pad, self.groups) and _conv1x1_as_dot():
+                out = _dot_1x1(x, kernel.astype(x.dtype),
+                               (self.stride, self.stride), x.dtype)
+            else:
+                out = jax.lax.conv_general_dilated(
+                    x, kernel.astype(x.dtype), (self.stride, self.stride),
+                    pad, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    feature_group_count=self.groups)
             if bias is not None:
                 out = out + bias.astype(out.dtype)
             return out

@@ -24,6 +24,32 @@ class TestQuantizedConv:
         err = float(jnp.abs(got - ref).max())
         assert err < 0.03 * scale, (err, scale)
 
+    @pytest.mark.parametrize("stride", [1, 2])
+    def test_1x1_as_dot_bitwise_matches_conv(self, stride, monkeypatch):
+        """EGOTAP_1X1_AS_DOT lowers 1x1/VALID convs to subsample+matmul;
+        int8 accumulation is exact so the two forms agree bitwise."""
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 64))
+        w = jax.random.normal(jax.random.PRNGKey(1), (1, 1, 64, 32)) * 0.1
+        monkeypatch.delenv("EGOTAP_1X1_AS_DOT", raising=False)
+        ref = quantized_conv(x, w, stride)
+        monkeypatch.setenv("EGOTAP_1X1_AS_DOT", "1")
+        got = quantized_conv(x, w, stride)
+        assert got.shape == (2, 8 // stride, 8 // stride, 32)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+    def test_1x1_as_dot_bf16_qconv_path(self, monkeypatch):
+        """The compute-dtype (non-quantized) QConv branch takes the dot
+        form too; f32 matmul vs conv agree to float tolerance."""
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 32))
+        m = QConv(16, 1, 2, 0)
+        v = m.init(jax.random.PRNGKey(1), x)
+        monkeypatch.delenv("EGOTAP_1X1_AS_DOT", raising=False)
+        ref = m.apply(v, x)
+        monkeypatch.setenv("EGOTAP_1X1_AS_DOT", "1")
+        got = m.apply(v, x)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                                   atol=1e-5)
+
     def test_param_tree_matches_nn_conv(self):
         from flax import linen as nn
         x = jnp.zeros((1, 8, 8, 16))
