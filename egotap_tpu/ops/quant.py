@@ -1,4 +1,4 @@
-"""int8 quantized convolution for heatmap-net inference.
+"""int8 PTQ inference ops: convs (stage-1 UNets) + matmuls (lifter).
 
 The stage-1 UNets are ~70% of the eval step and their big decoder convs
 already run at ~95% of the bf16 MXU roofline — the remaining single-chip
@@ -6,19 +6,23 @@ speed lever is precision. v5e executes int8 at 2x the bf16 rate
 (measured: 360 TOP/s vs 189 TF/s, tools/probe_int8.py).
 
 Scheme (TensorRT-style PTQ):
-  * weights: symmetric per-output-channel int8 (quantized from the stored
-    f32 params each step; they are read from HBM anyway and the rounding
-    fuses into that read; `quantize_conv_tree` pre-computes them),
+  * weights: symmetric per-output-channel int8. At serving they are
+    PRE-quantized off the hot path (`quantize_conv_tree` /
+    `quantize_dense_tree` -> a 'qparams' variable collection holding
+    {kernel_q, scale}), which removes both the per-step rounding and the
+    f32 kernel HBM reads; without qparams the rounding happens inline
+    (bitwise-identical results, tests/test_quantized.py).
   * activations: symmetric per-tensor int8. Two modes:
       - dynamic (default): max|x|/127 per call — no calibration needed,
         but the scale couples samples in a batch (an outlier sample
         changes everyone's quantization) and costs extra HBM passes;
-      - static calibrated: `calibrate_amax` records per-module max|x|
-        over calibration batches ("calib" collection sown by QConv /
-        QDense); `amax_to_qparams` turns that into fixed per-module
-        "a_scale" qparams entries. With a_scale present, per-sample
-        outputs are batch-composition-independent and the max-reduction
-        passes disappear from the hot path.
+      - static calibrated (the serving config): `calibrate_amax` records
+        per-module max|x| over calibration batches ("calib" collection
+        sown by QConv / QDense / QuantStub); `amax_to_qparams` turns that
+        into fixed per-module "a_scale" qparams entries. With a_scale
+        present, per-sample outputs are batch-composition-independent,
+        the max-reduction passes disappear from the hot path, and int8
+        pays off down to 64-channel convs (QConv's threshold logic).
   * accumulation in int32, dequantized into the compute dtype.
 
 Inference-only: training, the f32 test CLI, and checkpoint layouts are
