@@ -50,6 +50,11 @@ class Config:
     # int8 lifter-ViT INFERENCE matmuls (qkv/out/mlp; attention itself
     # stays bf16); same gating rules as int8_heatmap_inference
     int8_lifter_inference: bool = False
+    # calibrate STATIC int8 activation scales on the first N eval batches
+    # (eval/evaluate.py); 0 = dynamic per-call scales. Calibrated scales
+    # make per-sample int8 outputs batch-composition independent and drop
+    # the dynamic max-reduction passes from the hot path (ops/quant.py).
+    calib_batches: int = 0
     ae_hidden_size: int = 20
     skel_layer: str = "LSTM"               # PU | None (chain-parity PU shipped)
     patched_heatmap_ae: bool = False

@@ -53,6 +53,34 @@ def evaluate(cfg: Config, task, state, mode: str = "test",
     pre = make_device_preprocess(cfg)
     acc = MetricAccumulator()
 
+    # pre-quantize int8 weights BEFORE sharding (the calibrate-then-shard
+    # ordering from serving.py — the new frozen entries must be placed by
+    # data_parallel_setup's replicate like everything else). When
+    # cfg.calib_batches > 0, calibrate STATIC activation scales on the
+    # first N eval batches so int8 outputs are batch-composition
+    # independent (ops/quant.py; VERDICT r3 item 4) — otherwise the
+    # dynamic per-call scales are used.
+    int8_on = cfg.int8_heatmap_inference or cfg.int8_lifter_inference
+    if hasattr(task, "prepare_inference"):
+        calib = None
+        n_calib = int(getattr(cfg, "calib_batches", 0) or 0)
+        if int8_on and n_calib > 0 and not _has_calibrated_scales(
+                state.frozen):
+            calib = []
+            for bi, batch in enumerate(loader):
+                if bi >= n_calib:
+                    break
+                batch = {k: jnp.asarray(v) for k, v in batch.items()
+                         if k != "paths"}
+                calib.append({"input_rgb": pre(batch)["input_rgb"]})
+        state = task.prepare_inference(state, calib_batches=calib)
+        if int8_on:
+            mode_s = (f"calibrated static ({len(calib)} batches)" if calib
+                      else "calibrated static (pre-calibrated state)"
+                      if _has_calibrated_scales(state.frozen)
+                      else "dynamic per-call")
+            print(f"int8 inference: {mode_s} activation scales")
+
     # shard eval batches over the data mesh when multiple devices are
     # available (per-sample metrics gather back automatically); eval batches
     # are always padded to batch_size, so only batch_size divisibility
@@ -61,8 +89,6 @@ def evaluate(cfg: Config, task, state, mode: str = "test",
     from egotap_tpu.parallel.mesh import data_parallel_setup
     mesh, state, shard_fn = data_parallel_setup(cfg, state)
     shard = shard_fn if mesh is not None else None
-    if hasattr(task, "prepare_inference"):
-        state = task.prepare_inference(state)  # pre-quantized int8 weights
 
     pred_poses, gt_poses, input_paths = [], [], []
     pending = []  # (device metrics, mask, device poses) — read back at end
@@ -118,10 +144,16 @@ def evaluate(cfg: Config, task, state, mode: str = "test",
             pred_poses.append(_local_rows(poses[0])[keep])
             gt_poses.append(_local_rows(poses[1])[keep])
 
-    if save_result and pred_poses:
-        pred = np.concatenate(pred_poses, axis=0)
-        gt = np.concatenate(gt_poses, axis=0)
-        paths_arr = np.asarray(input_paths)
+    # NOTE: entered on save_result ALONE (not `and pred_poses`) — in a
+    # multi-host run every process must reach the allgather even if its
+    # shard produced zero rows, or the others hang in the collective; an
+    # empty host contributes a zero-row array.
+    if save_result:
+        pred = (np.concatenate(pred_poses, axis=0) if pred_poses
+                else np.zeros((0, 1, 3), np.float32))
+        gt = (np.concatenate(gt_poses, axis=0) if gt_poses
+              else np.zeros((0, 1, 3), np.float32))
+        paths_arr = np.asarray(input_paths, dtype=object)
         if jax.process_count() > 1:
             # each host holds only its shard's rows; gather everything so
             # the artifacts are global, and let exactly one process write
@@ -144,13 +176,18 @@ def evaluate(cfg: Config, task, state, mode: str = "test",
     if jax.process_count() > 1:
         # each host accumulated only its shard's rows; reduce the means
         # (weighted by local counts) across hosts so every process reports
-        # the global metric values. Keys are iterated in sorted order so a
-        # host with a conditionally-absent metric cannot mis-associate
-        # positions.
+        # the global metric values. The key SCHEMA is gathered first (a
+        # metric genuinely absent on one host — e.g. a host whose shard
+        # ran dry — would otherwise give differently-shaped local arrays
+        # and a failed collective); missing keys contribute zero-count
+        # rows.
         from jax.experimental import multihost_utils
-        keys = sorted(means)
+        keys = sorted(set(
+            _allgather_strings(np.asarray(sorted(means), dtype=object))
+            .tolist()))
         local = np.asarray(
-            [[means[k] * acc.count, acc.count] for k in keys]
+            [[means.get(k, 0.0) * (acc.count if k in means else 0),
+              acc.count if k in means else 0] for k in keys]
             or [[0.0, 0]], dtype=np.float64)
         allhosts = multihost_utils.process_allgather(local)
         totals = allhosts.sum(axis=0)
@@ -165,6 +202,17 @@ def evaluate(cfg: Config, task, state, mode: str = "test",
     return means, acc.per_sample, pairs_per_sec
 
 
+def _has_calibrated_scales(frozen) -> bool:
+    """True when any pre-quantized tree in `frozen` carries calibrated
+    static 'a_scale' entries (ops/quant.py:amax_to_qparams) — used to skip
+    redundant re-calibration across the test CLI's 30-category loop."""
+    def visit(t) -> bool:
+        if isinstance(t, dict):
+            return "a_scale" in t or any(visit(v) for v in t.values())
+        return False
+    return any(visit(v) for k, v in frozen.items() if k.endswith("_q"))
+
+
 def _force_completion(out) -> None:
     """Actually wait for a step's outputs: read one leaf back to host
     (`block_until_ready` does not block through the TPU relay)."""
@@ -175,13 +223,23 @@ def _force_completion(out) -> None:
 
 def _allgather_rows(arr: np.ndarray) -> np.ndarray:
     """Concatenate per-host row arrays (possibly unequal row counts) in
-    process order."""
+    process order. A host with ZERO rows may pass a placeholder trailing
+    shape — the consensus trailing shape is gathered first so its padded
+    contribution still matches the fixed-shape collective."""
     from jax.experimental import multihost_utils
-    counts = np.atleast_1d(multihost_utils.process_allgather(
-        np.asarray([arr.shape[0]], dtype=np.int64))).reshape(-1)
+    nd = 4  # max trailing dims shipped (poses are (N, J, 3))
+    meta = np.full((1 + nd,), -1, dtype=np.int64)
+    meta[0] = arr.shape[0]
+    meta[1:1 + len(arr.shape[1:])] = arr.shape[1:]
+    metas = np.atleast_2d(multihost_utils.process_allgather(meta))
+    counts = metas[:, 0]
     maxn = int(counts.max())
     if maxn == 0:
         return arr
+    ref = metas[counts > 0][0, 1:]
+    tshape = tuple(int(d) for d in ref if d >= 0)
+    if arr.shape[0] == 0 and arr.shape[1:] != tshape:
+        arr = np.zeros((0,) + tshape, arr.dtype)
     if arr.shape[0] < maxn:
         pad = np.zeros((maxn - arr.shape[0],) + arr.shape[1:], arr.dtype)
         arr = np.concatenate([arr, pad], axis=0)
