@@ -287,15 +287,43 @@ def sample_limb_heatmaps(camera_pose_2d: np.ndarray,
 
 
 def pose_image(camera_pose_2d: np.ndarray, parents: np.ndarray,
-               res: int = 64) -> np.ndarray:
-    """Full-skeleton line image (reference utils/projection.py:194-237,
-    weight_depth=False path): per-bone AA lines max-combined, blurred,
-    peak-normalized, x0.01."""
+               res: int = 64, weight_depth: bool = False,
+               camera_pose_depth: np.ndarray = None) -> np.ndarray:
+    """Full-skeleton line image (reference utils/projection.py:194-237):
+    per-bone AA lines max-combined, blurred, peak-normalized, x0.01.
+
+    weight_depth=True (the reference signature's default, though the
+    function has zero call sites upstream): each bone's AA values are
+    multiplied by the depth linearly interpolated between its endpoint
+    depths (each clamped to >= 0). Reference quirks preserved:
+      * a degenerate bone (any pixel with p_distance + distance == 0,
+        i.e. a single-pixel line) sets t = 0 for the WHOLE bone, so the
+        pixel gets the PARENT's depth (projection.py:216-221) — unlike
+        sample_limb_heatmaps' min-depth rule;
+      * no depth_scale/depth_offset exist here (they are
+        sample_limb_heatmaps-only knobs).
+    """
+    if weight_depth and camera_pose_depth is None:
+        raise ValueError("weight_depth=True requires camera_pose_depth")
     img = np.zeros((res, res), dtype=np.float64)
     for joint in range(1, len(parents)):
-        line = line_heatmap(
-            np.rint(camera_pose_2d[parents[joint]] * res / COORD_SPACE),
-            np.rint(camera_pose_2d[joint] * res / COORD_SPACE), res)
+        p = np.rint(camera_pose_2d[parents[joint]] * res / COORD_SPACE
+                    ).astype(int)
+        q = np.rint(camera_pose_2d[joint] * res / COORD_SPACE).astype(int)
+        line = np.zeros((res, res), dtype=np.float64)
+        rr, cc, val = line_aa(p[0], p[1], q[0], q[1])
+        if weight_depth:
+            p_depth = max(0.0, float(camera_pose_depth[parents[joint]]))
+            depth = max(0.0, float(camera_pose_depth[joint]))
+            p_dist = np.sqrt((rr - p[0]) ** 2 + (cc - p[1]) ** 2)
+            dist = np.sqrt((rr - q[0]) ** 2 + (cc - q[1]) ** 2)
+            if np.any(p_dist + dist == 0):
+                t = 0.0
+            else:
+                t = p_dist / (p_dist + dist)
+            val = val * ((1 - t) * p_depth + t * depth)
+        ok = (rr >= 0) & (rr < res) & (cc >= 0) & (cc < res)
+        line[cc[ok], rr[ok]] = val[ok]
         img = np.maximum(img, line)
     img = gaussian_filter(img, sigma=1)
     img /= GAUSSIAN_PEAK

@@ -37,6 +37,24 @@ def tensor2im(image: np.ndarray, is_heatmap: bool = False,
     return img.astype(np.uint8)
 
 
+def convert_norm_angle_to_rgb(cos_hm: np.ndarray, sin_hm: np.ndarray
+                              ) -> np.ndarray:
+    """Sin/cos limb-heatmap pair -> (..., 3) norm/angle visualization
+    (reference utils/data.py:265-276): channel 0 = atan2 angle / pi,
+    channel 1 = magnitude rescaled to [-1, 1], channel 2 = 1.
+
+    Documented upstream bug: the reference writes into a torch
+    ``.expand()`` view, which raises RuntimeError at runtime (the
+    function has zero call sites); this implements the evident intent
+    with a stack."""
+    cos_hm = np.asarray(cos_hm, dtype=np.float32)
+    sin_hm = np.asarray(sin_hm, dtype=np.float32)
+    norm = np.sqrt(cos_hm ** 2 + sin_hm ** 2)
+    angle = np.arctan2(sin_hm, cos_hm)
+    return np.stack(
+        [angle / np.pi, norm * 2.0 - 1.0, np.ones_like(norm)], axis=-1)
+
+
 def save_image(img: np.ndarray, path: str) -> None:
     from PIL import Image
     if img.ndim == 3 and img.shape[2] == 1:

@@ -239,3 +239,57 @@ class TestSampleLimbHeatmaps:
         out = H.sample_limb_heatmaps(pts2d, depth, parents, res=64,
                                      weight_depth=True)
         np.testing.assert_allclose(out[0], 0.0, atol=1e-7)
+
+
+class TestPoseImage:
+    """Full-skeleton line image (reference utils/projection.py:194-237);
+    the weight_depth=True branch is the reference signature's default but
+    has zero call sites upstream — ported for inventory completeness."""
+
+    def test_unweighted_matches_line_heatmaps(self, rng):
+        parents = get_skeleton("UnrealEgo").parents_array()
+        pts2d = _random_pose_2d(rng, len(parents))
+        out = H.pose_image(pts2d, parents, res=64)
+        img = np.zeros((64, 64))
+        for j in range(1, len(parents)):
+            img = np.maximum(img, H.line_heatmap(
+                np.rint(pts2d[parents[j]] / 16.0),
+                np.rint(pts2d[j] / 16.0), 64))
+        want = gaussian_filter(img, sigma=1) / H.GAUSSIAN_PEAK * 0.01
+        np.testing.assert_allclose(out, want, atol=1e-9)
+
+    def test_depth_weighting_interpolates_endpoints(self):
+        parents = np.array([0, 0])
+        pts2d = np.array([[160., 320.], [800., 320.]])
+        depth = np.array([2.0, 6.0])
+        out = H.pose_image(pts2d, parents, res=64, weight_depth=True,
+                           camera_pose_depth=depth)
+        img = np.zeros((64, 64))
+        for x in range(10, 51):
+            t = (x - 10) / 40.0
+            img[20, x] = (1 - t) * 2.0 + t * 6.0
+        want = gaussian_filter(img, sigma=1) / H.GAUSSIAN_PEAK * 0.01
+        np.testing.assert_allclose(out, want, atol=1e-7)
+
+    def test_degenerate_bone_takes_parent_depth(self):
+        # single-pixel bone: the reference sets t = 0 for the whole bone
+        # (projection.py:216-218), i.e. the PARENT's depth — not the
+        # min-depth rule sample_limb_heatmaps uses
+        parents = np.array([0, 0])
+        pts2d = np.array([[480., 480.], [480., 480.]])
+        depth = np.array([3.0, 7.0])
+        out = H.pose_image(pts2d, parents, res=64, weight_depth=True,
+                           camera_pose_depth=depth)
+        img = np.zeros((64, 64))
+        img[30, 30] = 3.0
+        want = gaussian_filter(img, sigma=1) / H.GAUSSIAN_PEAK * 0.01
+        np.testing.assert_allclose(out, want, atol=1e-7)
+
+    def test_negative_depth_clamped_and_guard(self):
+        parents = np.array([0, 0])
+        pts2d = np.array([[320., 320.], [640., 320.]])
+        out = H.pose_image(pts2d, parents, res=64, weight_depth=True,
+                           camera_pose_depth=np.array([-5.0, -1.0]))
+        np.testing.assert_allclose(out, 0.0, atol=1e-9)
+        with pytest.raises(ValueError):
+            H.pose_image(pts2d, parents, res=64, weight_depth=True)

@@ -9,6 +9,7 @@ import pytest
 import jax.numpy as jnp
 
 from egotap_tpu.ops.upsample import upsample2x_align_corners
+from egotap_tpu.utils import images
 from egotap_tpu.utils.images import (
     denormalize_imagenet, normalize_imagenet, save_image, tensor2im)
 from egotap_tpu.utils.logging import MetricWriter
@@ -118,3 +119,22 @@ class TestUpsampleOnePassKernel:
         ga = np.asarray(jax.grad(f)(x), np.float32)
         gb = np.asarray(jax.grad(g)(x), np.float32)
         np.testing.assert_allclose(ga, gb, rtol=0, atol=2e-2 * np.abs(gb).max())
+
+
+class TestConvertNormAngleToRgb:
+    """reference utils/data.py:265-276 (upstream writes into a torch
+    .expand() view -> RuntimeError; we implement the evident intent)."""
+
+    def test_formula(self):
+        rng = np.random.default_rng(0)
+        raw = rng.random(size=(4, 16, 16)).astype(np.float32)
+        theta = rng.uniform(-np.pi, np.pi, size=(4, 1, 1)).astype(np.float32)
+        cos_hm = raw * np.cos(theta)
+        sin_hm = raw * np.sin(theta)
+        out = images.convert_norm_angle_to_rgb(cos_hm, sin_hm)
+        assert out.shape == (4, 16, 16, 3)
+        np.testing.assert_allclose(
+            out[..., 0], np.broadcast_to(theta, raw.shape) / np.pi,
+            atol=1e-5)
+        np.testing.assert_allclose(out[..., 1], raw * 2 - 1, atol=1e-6)
+        np.testing.assert_allclose(out[..., 2], 1.0)
