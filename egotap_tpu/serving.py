@@ -86,17 +86,33 @@ class Predictor:
         pose = self.lifter.apply(lv, hm_cat, train=False)
         return pose.astype(jnp.float32)
 
-    def __call__(self, rgb) -> np.ndarray:
-        """rgb: (B, views, H, W, 3) ImageNet-normalized float32."""
+    def __call__(self, rgb, pad_ragged: bool = True) -> np.ndarray:
+        """rgb: (B, views, H, W, 3) ImageNet-normalized float32.
+
+        On a sharded predictor, a batch that does not divide the mesh's
+        data axis is zero-padded up to the next multiple and the pad rows
+        are dropped from the output (`pad_ragged=False` restores the
+        hard error). Pad rows cannot couple into real rows: BN is
+        eval-mode and int8 scales are static after `calibrate()`. With
+        DYNAMIC int8 scales the pad batch shifts per-call activation
+        scales slightly — calibrate() first for padding-invariant
+        numerics. Each distinct padded size compiles once (sizes are
+        multiples of the data-axis width, so the set is small)."""
         x = jnp.asarray(rgb)
+        n_valid = x.shape[0]
         if self._mesh is not None:
-            n = self._mesh.devices.size
-            if x.shape[0] % n:
+            n = self._mesh.shape["data"]
+            rem = n_valid % n
+            if rem and not pad_ragged:
                 raise ValueError(
-                    f"batch size {x.shape[0]} not divisible by the "
-                    f"{n}-device serving mesh; pad the batch or re-shard")
+                    f"batch size {n_valid} not divisible by the "
+                    f"{n}-way data axis; pad the batch or re-shard")
+            if rem:
+                x = jnp.concatenate(
+                    [x, jnp.zeros((n - rem,) + x.shape[1:], x.dtype)],
+                    axis=0)
             x = jax.device_put(x, self._batch_sh)
-        return np.asarray(self._fn(self._vars, x))
+        return np.asarray(self._fn(self._vars, x))[:n_valid]
 
     def shard(self, num_devices: int = 0,
               num_model: int = 1) -> "Predictor":
@@ -171,8 +187,16 @@ class Predictor:
                 rot, mr = applies["rot"](rv, x)
                 acc("rot", mr)
             else:
-                pos = self.pos_net.apply(hv, x, train=False)
-                rot = self.rot_net.apply(rv, x, train=False)
+                # jitted too: an op-by-op forward through the CI TPU
+                # relay (~37 ms/dispatch) is pathologically slow even
+                # when this leg needs no calib collection
+                if "pos_plain" not in applies:
+                    applies["pos_plain"] = jax.jit(functools.partial(
+                        self.pos_net.apply, train=False))
+                    applies["rot_plain"] = jax.jit(functools.partial(
+                        self.rot_net.apply, train=False))
+                pos = applies["pos_plain"](hv, x)
+                rot = applies["rot_plain"](rv, x)
             if self._int8_lift:
                 hm = jnp.concatenate([pos, rot], axis=-1).astype(dt)
                 _, ml = applies["lift"](lv, hm)

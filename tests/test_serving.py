@@ -191,12 +191,25 @@ class TestShardedServing:
         out = sharded(rgb)
         np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
 
-    def test_indivisible_batch_raises(self, small_pred_parts, rng):
+    def test_indivisible_batch_raises_when_opted_out(self, small_pred_parts,
+                                                     rng):
         cfg, hv, rv, lv = small_pred_parts
         pred = Predictor(cfg, hv, rv, lv, bf16=False, int8=False).shard(4)
         rgb = rng.normal(size=(3, 2, 64, 64, 3)).astype(np.float32)
         with pytest.raises(ValueError, match="not divisible"):
-            pred(rgb)
+            pred(rgb, pad_ragged=False)
+
+    def test_ragged_batch_auto_pads(self, small_pred_parts, rng):
+        """Default: a ragged batch is zero-padded onto the mesh and the
+        pad rows dropped — per-sample outputs identical to the
+        single-device predictor on the unpadded batch."""
+        cfg, hv, rv, lv = small_pred_parts
+        rgb = rng.normal(size=(5, 2, 64, 64, 3)).astype(np.float32)
+        ref = Predictor(cfg, hv, rv, lv, bf16=False, int8=False)(rgb)
+        pred = Predictor(cfg, hv, rv, lv, bf16=False, int8=False).shard(4)
+        out = pred(rgb)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
 
     def test_tensor_parallel_matches_single_device(self, small_pred_parts,
                                                     rng):
