@@ -305,7 +305,7 @@ class ResNetEncoder(nn.Module):
         widths = (64, 128, 256, 512)
         for li, (width, depth) in enumerate(zip(widths, depths), start=1):
             if (li == 1 and self.quant and self.fused_layer1
-                    and kind == "basic" and g == 1
+                    and not train and kind == "basic" and g == 1
                     and out.shape[-1] == width):
                 # fused int8 layer1 (ops/fused_layer1.py): whole-stage
                 # Pallas kernel, one HBM read/write per image instead of

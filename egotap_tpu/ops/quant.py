@@ -62,8 +62,12 @@ def quantize_activation(x: jnp.ndarray,
 def _conv1x1_as_dot() -> bool:
     """Experimental: lower 1x1 convs to an explicit reshape + dot_general
     instead of lax.conv (probing whether XLA's small-spatial 1x1 int8 conv
-    lowering is the decoder-skip bottleneck, tools/probe_1x1.py). Read at
-    trace time so tools/tests can toggle per-jit."""
+    lowering is the decoder-skip bottleneck, tools/probe_1x1.py).
+
+    TRACE-TIME flag: jit caches are NOT keyed on this env var, so it must
+    be set before the first trace of any quantized conv in the process —
+    fresh-process probe scripts only. Flipping it mid-process silently
+    leaves already-traced programs on the old lowering."""
     import os
     return os.environ.get("EGOTAP_1X1_AS_DOT", "0") == "1"
 
