@@ -39,7 +39,7 @@ def conv_case(label, hw, cin, cout, k, int8):
         a_scale = jnp.float32(3.0 / 127.0)
 
         def f(i, x, wq, ws):
-            out = quantized_conv(x + i * 1e-6, None, 1, pad,
+            out = quantized_conv(x + (i * 1e-6).astype(x.dtype), None, 1, pad,
                                  precomputed=(wq, ws), a_scale=a_scale)
             return jnp.mean(jax.nn.relu(out).astype(jnp.float32))
         per, _ = timed_scan(f, x, wq, ws, label=label + "_i8",
@@ -49,7 +49,7 @@ def conv_case(label, hw, cin, cout, k, int8):
 
         def f(i, x, wb):
             out = jax.lax.conv_general_dilated(
-                x + i * 1e-6, wb, (1, 1), pad,
+                x + (i * 1e-6).astype(x.dtype), wb, (1, 1), pad,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
             return jnp.mean(jax.nn.relu(out).astype(jnp.float32))
         per, _ = timed_scan(f, x, wb, label=label + "_bf",
@@ -64,7 +64,7 @@ def upsample_case(label, hw, c):
     x = jax.random.normal(jax.random.PRNGKey(0), (B, hw, hw, c), DT)
 
     def f(i, x):
-        return jnp.mean(upsample2x_align_corners(x + i * 1e-6)
+        return jnp.mean(upsample2x_align_corners(x + (i * 1e-6).astype(x.dtype))
                         .astype(jnp.float32))
     per, _ = timed_scan(f, x, label=label, k=256)
     gb = B * hw * hw * c * 2 * (1 + 4) / 1e9  # read + 4x write (2x2 up)

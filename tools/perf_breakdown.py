@@ -42,43 +42,51 @@ def component_flops(fn, *args) -> float:
         return float("nan")
 
 
-_DISPATCH_OVERHEAD = None
+def timed_scan(fn, *args, k=K, label="", min_diff_s=0.05):
+    """Two-scan-length differential with ADAPTIVE scan length.
 
+    Times a k-iter and a 4k-iter scan (full host readback) and takes
+    per_iter from PAIRED differences — median of (t_long - t_short)/3k
+    over repeats — so any fixed per-dispatch cost (the relay's ~30-40 ms
+    round-trip, host sync, readback) cancels exactly. If the measured
+    differential is below `min_diff_s` (i.e. the kernel is so small that
+    relay jitter would swamp the signal — sub-0.1 ms kernels at k=16
+    once "measured" 9x the chip's peak), k is scaled up and the
+    measurement repeated until the signal dominates. The previous
+    subtract-a-trivial-dispatch-probe method drifted with relay
+    conditions and could go negative."""
+    def make(kk):
+        @jax.jit
+        def run(*a):
+            def body(c, i):
+                return c + fn(i, *a), ()
+            acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(kk))
+            return acc
+        return run
 
-def dispatch_overhead() -> float:
-    """Fixed per-dispatch latency (the CI relay round-trip is ~30-40 ms);
-    must be subtracted or it inflates every k=16 scan by ~2 ms/iter."""
-    global _DISPATCH_OVERHEAD
-    if _DISPATCH_OVERHEAD is None:
-        trivial = jax.jit(lambda x: x + 1.0)
-        float(trivial(jnp.zeros(())))
-        best = float("inf")
-        for _ in range(5):
-            t0 = time.perf_counter()
-            float(trivial(jnp.zeros(())))
-            best = min(best, time.perf_counter() - t0)
-        _DISPATCH_OVERHEAD = best
-    return _DISPATCH_OVERHEAD
-
-
-def timed_scan(fn, *args, k=K, label=""):
-    @jax.jit
-    def run(*a):
-        def body(c, i):
-            return c + fn(i, *a), ()
-        acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(k))
-        return acc
-
-    overhead = dispatch_overhead()
-    t0 = time.perf_counter()
-    float(run(*args))
-    compile_s = time.perf_counter() - t0
-    best = float("inf")
-    for _ in range(3):
+    compile_s = 0.0
+    while True:
+        run_s, run_l = make(k), make(4 * k)
         t0 = time.perf_counter()
-        float(run(*args))
-        best = min(best, time.perf_counter() - t0)
-    per_iter = max(best - overhead, 1e-9) / k
+        float(run_s(*args))
+        float(run_l(*args))
+        compile_s += time.perf_counter() - t0
+        diffs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(run_s(*args))
+            t1 = time.perf_counter()
+            float(run_l(*args))
+            diffs.append((time.perf_counter() - t1) - (t1 - t0))
+        diff = sorted(diffs)[1]
+        if diff >= min_diff_s or k >= 1 << 16:
+            break
+        if diff <= 0:
+            k = 4 * k
+        else:  # aim the next differential at ~2x the floor
+            k = max(2 * k, int(k * 2 * min_diff_s / diff) + 1)
+        k = min(k, 1 << 16)
+    per_iter = max(diff, 1e-9) / (3 * k)
 
     flops = component_flops(fn, *args)
     tflops = flops / per_iter / 1e12

@@ -68,7 +68,7 @@ def main():
             bvars = with_calib(enc, bvars,
                                jnp.zeros((2, 256, 256, 3), DT), train=False)
             def f_bb(i, v, x):
-                flat = (x + i * 1e-6).reshape(B * 2, 256, 256, 3)
+                flat = (x + (i * 1e-6).astype(x.dtype)).reshape(B * 2, 256, 256, 3)
                 feats = enc.apply(v, flat, train=False)
                 return sum(jnp.mean(f.astype(jnp.float32)) for f in feats[1:])
             timed_scan(f_bb, bvars, rgb, label="backbone(2v)")
@@ -82,7 +82,7 @@ def main():
             sv = jax.device_put(sv, jax.devices()[0])
             x = jax.random.normal(rng, (B * 2, 256, 256, 3), DT)
             def f_stem(i, v, x):
-                return jnp.mean(stem.apply(v, x + i * 1e-6)
+                return jnp.mean(stem.apply(v, x + (i * 1e-6).astype(x.dtype))
                                 .astype(jnp.float32))
             timed_scan(f_stem, sv, x, label="stem(2v)")
 
@@ -92,7 +92,7 @@ def main():
                                    train=False)
             # decoder given a fake merged pyramid (both views concatenated)
             def f_dec(i, v, x):
-                out = net.apply(v, x + i * 1e-6, train=False)
+                out = net.apply(v, x + (i * 1e-6).astype(x.dtype), train=False)
                 return jnp.mean(out.astype(jnp.float32))
             # full net minus backbone isn't separable through flax apply;
             # approximate: full net time here, subtract backbone(2v) above
@@ -106,7 +106,7 @@ def main():
             hv = jax.device_put(hv, jax.devices()[0])
             x = jax.random.normal(rng, (B, 64, 64, 512), DT)
             def f_head(i, v, x):
-                return jnp.mean(head.apply(v, x + i * 1e-6)
+                return jnp.mean(head.apply(v, x + (i * 1e-6).astype(x.dtype))
                                 .astype(jnp.float32))
             timed_scan(f_head, hv, x, label="head1x1(N=30)")
 
@@ -116,7 +116,7 @@ def main():
             x = jax.random.normal(rng, (B, hw, hw, c), DT)
             def f_up(i, x):
                 return jnp.mean(
-                    upsample2x_align_corners(x + i * 1e-6)
+                    upsample2x_align_corners(x + (i * 1e-6).astype(x.dtype))
                     .astype(jnp.float32))
             timed_scan(f_up, x, label=f"up{hw}->{hw*2}x{c}")
 
@@ -135,7 +135,7 @@ def main():
                 vit.apply, mutable=["calib"]))(vv, x)
             vv = {**vv, "qparams": amax_to_qparams(mut["calib"])}
         def f_vit(i, v, x):
-            return jnp.mean(vit.apply(v, x + i * 1e-6).astype(jnp.float32))
+            return jnp.mean(vit.apply(v, x + (i * 1e-6).astype(x.dtype)).astype(jnp.float32))
         tag = {(False, False): "", (True, False): "_i8",
                (True, True): "_i8c"}[(int8, calib)]
         timed_scan(f_vit, vv, x, label="gridvit" + tag)
@@ -149,7 +149,7 @@ def main():
             fv = fc.init(jax.random.PRNGKey(1), jnp.zeros((1, 60, 2 * 64 * 64)))
         fv = jax.device_put(fv, jax.devices()[0])
         def f_fc(i, v, x):
-            return jnp.mean(fc.apply(v, x + i * 1e-6, train=False)
+            return jnp.mean(fc.apply(v, x + (i * 1e-6).astype(x.dtype), train=False)
                             .astype(jnp.float32))
         timed_scan(f_fc, fv, x, label="limbfc")
 
@@ -167,7 +167,7 @@ def main():
                          jnp.zeros((1, 15, 256)), jnp.zeros((1, 15, 256)))
         pv = jax.device_put(pv, jax.devices()[0])
         def f_pu(i, v, x, b):
-            return jnp.mean(pu.apply(v, x + i * 1e-6, b)
+            return jnp.mean(pu.apply(v, x + (i * 1e-6).astype(x.dtype), b)
                             .astype(jnp.float32))
         timed_scan(f_pu, pv, xs, br, label="pu_scan")
 
@@ -209,7 +209,7 @@ def bench_stages(int8: bool, calib: bool = False):
                 quantize_conv_tree(v["params"]),
                 amax_to_qparams(mut["calib"]))}
         def f(i, v, x):
-            return jnp.mean(m.apply(v, x + i * 1e-6).astype(jnp.float32))
+            return jnp.mean(m.apply(v, x + (i * 1e-6).astype(x.dtype)).astype(jnp.float32))
         tag = "i8c" if calib else ("i8" if int8 else "")
         timed_scan(f, v, x, label=f"{name}{tag}(2v)")
 

@@ -36,12 +36,12 @@ def case(hw, cin, cout):
     tag = f"{hw}x{hw}x{cin}"
 
     def f_conv(i, x, wq, ws):
-        out = quantized_conv(x + i * 1e-6, None, 1, ((0, 0), (0, 0)),
+        out = quantized_conv(x + (i * 1e-6).astype(x.dtype), None, 1, ((0, 0), (0, 0)),
                              precomputed=(wq, ws), a_scale=a_scale)
         return jnp.mean(out.astype(jnp.float32))
 
     def f_mm(i, x, wq, ws):
-        xf = (x + i * 1e-6).reshape(-1, cin)
+        xf = (x + (i * 1e-6).astype(x.dtype)).reshape(-1, cin)
         xq = jnp.clip(jnp.round(xf.astype(jnp.float32) / a_scale),
                       -127, 127).astype(jnp.int8)
         acc = jax.lax.dot_general(xq, wq.reshape(cin, cout),
@@ -52,12 +52,12 @@ def case(hw, cin, cout):
 
     def f_bf(i, x, wb):
         out = jax.lax.conv_general_dilated(
-            x + i * 1e-6, wb, (1, 1), ((0, 0), (0, 0)),
+            x + (i * 1e-6).astype(x.dtype), wb, (1, 1), ((0, 0), (0, 0)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         return jnp.mean(out.astype(jnp.float32))
 
     def f_relu(i, x):
-        return jnp.mean(jax.nn.relu(x + i * 1e-6).astype(jnp.float32))
+        return jnp.mean(jax.nn.relu(x + (i * 1e-6).astype(x.dtype)).astype(jnp.float32))
 
     for name, f, args in ((f"i8conv_{tag}", f_conv, (x, wq, ws)),
                           (f"i8mm_{tag}", f_mm, (x, wq, ws)),
