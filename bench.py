@@ -73,29 +73,29 @@ def _phase(name: str) -> None:
     _PHASE = name
 
 
-def _measure(run, args, batch: int, overhead_reps: int = 5) -> float:
-    """Time `run(*args)` (a jitted K-iteration scan with scalar output),
-    cancel the fixed dispatch overhead, return pairs/s."""
-    import jax.numpy as jnp
-    import jax
-
-    _phase("overhead-probe")
-    trivial = jax.jit(lambda x: x + 1.0)
-    float(trivial(jnp.zeros(())))
-    t0 = time.perf_counter()
-    for _ in range(overhead_reps):
-        float(trivial(jnp.zeros(())))
-    overhead = (time.perf_counter() - t0) / overhead_reps
-
+def _measure(make_run, args, batch: int) -> float:
+    """Time a K-iter and a 4K-iter scan (`make_run(k)` returns the jitted
+    program; scalar output read back to host) and take per-iteration time
+    from PAIRED long-minus-short differences — median over REPEATS. Any
+    fixed per-dispatch cost (the relay's ~37 ms round-trip, host sync,
+    readback) cancels exactly in the pair. The earlier
+    subtract-a-trivial-dispatch-probe method drifted with relay
+    conditions — the overhead probe and the measured run sample the relay
+    at different moments — which is the likely source of the round-4
+    1469.7 pairs/s outlier capture (BASELINE.md measurement note)."""
+    run_s, run_l = make_run(K), make_run(4 * K)
     _phase("compile")
-    float(run(*args))  # compile
+    float(run_s(*args))
+    float(run_l(*args))
     _phase("measure")
-    best = float("inf")
+    diffs = []
     for _ in range(REPEATS):
         t0 = time.perf_counter()
-        float(run(*args))  # host readback blocks for real
-        best = min(best, time.perf_counter() - t0)
-    per_iter = max(best - overhead, 1e-9) / K
+        float(run_s(*args))  # host readback blocks for real
+        t1 = time.perf_counter()
+        float(run_l(*args))
+        diffs.append((time.perf_counter() - t1) - (t1 - t0))
+    per_iter = max(sorted(diffs)[len(diffs) // 2], 1e-9) / (3 * K)
     return batch / per_iter
 
 
@@ -156,16 +156,18 @@ def main(bf16_only: bool = False, batch: int = BATCH) -> None:
         return (jnp.mean(out["pred_pose"])
                 + jnp.mean(out["metrics"]["pa_mpjpe"]))
 
-    @jax.jit
-    def run(state, rgb, gt_pose):
-        def body(carry, i):
-            # perturb the input per iteration so no work can be CSE'd
-            r = rgb + (i.astype(rgb.dtype) * 1e-6)
-            return carry + one_eval(state, r, gt_pose), ()
-        acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(K))
-        return acc
+    def make_run(k):
+        @jax.jit
+        def run(state, rgb, gt_pose):
+            def body(carry, i):
+                # perturb the input per iteration so no work can be CSE'd
+                r = rgb + (i.astype(rgb.dtype) * 1e-6)
+                return carry + one_eval(state, r, gt_pose), ()
+            acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(k))
+            return acc
+        return run
 
-    pairs_per_sec = _measure(run, (state, rgb, gt_pose), batch)
+    pairs_per_sec = _measure(make_run, (state, rgb, gt_pose), batch)
 
     suffix = ("_bf16" if bf16_only else "") + (
         "" if batch == BATCH else f"_b{batch}")
@@ -232,18 +234,21 @@ def main_train(stage: str, batch: int = 0) -> None:
         feed["gt_local_pose"] = jax.random.normal(
             jax.random.PRNGKey(2), (batch, 16, 3))
 
-    @jax.jit
-    def run(state, feed):
-        def body(carry, i):
-            b = {k: v + (i.astype(v.dtype) * 1e-6) for k, v in feed.items()}
-            new_state, loss_d = task.train_step(carry, b)
-            return new_state, sum(jnp.mean(v) for v in loss_d.values())
-        final, losses = jax.lax.scan(body, state, jnp.arange(K))
-        # read back a scalar that depends on the final state AND every
-        # step's losses so the whole chain must execute
-        return jnp.sum(losses) + final.step.astype(jnp.float32)
+    def make_run(kk):
+        @jax.jit
+        def run(state, feed):
+            def body(carry, i):
+                b = {k: v + (i.astype(v.dtype) * 1e-6)
+                     for k, v in feed.items()}
+                new_state, loss_d = task.train_step(carry, b)
+                return new_state, sum(jnp.mean(v) for v in loss_d.values())
+            final, losses = jax.lax.scan(body, state, jnp.arange(kk))
+            # read back a scalar that depends on the final state AND every
+            # step's losses so the whole chain must execute
+            return jnp.sum(losses) + final.step.astype(jnp.float32)
+        return run
 
-    pairs_per_sec = _measure(run, (state, feed), batch)
+    pairs_per_sec = _measure(make_run, (state, feed), batch)
     base = REFERENCE_TRAIN_PAIRS_PER_SEC[stage]
     stage_name = "stage1" if stage == "train1" else "stage2"
     print(json.dumps({
