@@ -60,12 +60,14 @@ def main():
         w_i8 = jnp.clip(jnp.round(wt.astype(jnp.float32) / w_scale), -127,
                         127).astype(jnp.int8)
 
+        # perturbation pinned to the input dtype: a raw `x + i*1e-6`
+        # promotes the bf16 operand (and the whole conv) to f32
         def f_bf16(i, x, wt):
-            return jnp.mean(conv_bf16(x + i * 1e-6, wt)
+            return jnp.mean(conv_bf16(x + (i * 1e-6).astype(x.dtype), wt)
                             .astype(jnp.float32))
         def f_int8(i, x, w_i8, w_scale):
-            return jnp.mean(conv_int8(x + i * 1e-6, w_i8, w_scale)
-                            .astype(jnp.float32))
+            return jnp.mean(conv_int8(x + (i * 1e-6).astype(x.dtype),
+                                      w_i8, w_scale).astype(jnp.float32))
         label = f"{h}x{w}x{ci}->{co}"
         timed_scan(f_bf16, x, wt, label=f"bf16 {label}")
         timed_scan(f_int8, x, w_i8, w_scale, label=f"int8 {label}")
