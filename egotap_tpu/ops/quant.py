@@ -2,8 +2,12 @@
 
 The stage-1 UNets are ~70% of the eval step and their big decoder convs
 already run at ~95% of the bf16 MXU roofline — the remaining single-chip
-speed lever is precision. v5e executes int8 at 2x the bf16 rate
-(measured: 360 TOP/s vs 189 TF/s, tools/probe_int8.py).
+speed lever is precision. int8's win is strongly shape-dependent on v5e
+(fixed-harness measurements, tools/probe_int4.py + docs/ROUND4.md:
+199 TOP/s at 8192x2048x2048 but 270-339 TOP/s at the lifter's real
+matmul shapes — the old "360 TOP/s" figure was a broken-harness
+artifact) and comes as much from HALVED activation HBM traffic and
+better small-channel MXU packing as from raw MXU rate.
 
 Scheme (TensorRT-style PTQ):
   * weights: symmetric per-output-channel int8. At serving they are

@@ -20,7 +20,8 @@ Methodology notes (both learned the hard way):
     the weight cast is loop-invariant (hoists, free), the activation
     cast fuses into the perturbation pass.
 
-Run: python tools/probe_int4.py
+Run: python tools/probe_int4.py        # generic matmul + decoder conv
+     python tools/probe_int4.py vit    # the lifter's REAL matmul shapes
 """
 
 import os
@@ -96,6 +97,32 @@ def probe(tag, x8, w8, adt, wdt, contract, flops, k=K):
         print(f"{tag:10s} FAILED ({type(e).__name__}: {msg})")
 
 
+def main_vit_shapes():
+    """int8 vs int4 at the lifter ViT's REAL matmul shapes (batch 32 ×
+    577 tokens; hidden 1024, mlp 4096). These are the shapes a W4A4
+    lifter rung would have to win at — recorded result (docs/ROUND4.md):
+    int4 is neutral-to-worse at every one (mlp_out regresses 1.9x), so
+    the rung is killed without building it."""
+    enable_compilation_cache()
+    rng = jax.random.PRNGKey(0)
+    m = 32 * 577
+    for (k, n) in ((1024, 1024), (1024, 4096), (4096, 1024)):
+        flops = 2 * m * k * n
+        x8 = jax.random.randint(rng, (m, k), -7, 7,
+                                jnp.int32).astype(jnp.int8)
+        w8 = jax.random.randint(jax.random.PRNGKey(1), (k, n), -7, 7,
+                                jnp.int32).astype(jnp.int8)
+
+        def mm(xi, w):
+            acc = jax.lax.dot_general(xi, w, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.int32)
+            return jnp.sum(acc, dtype=jnp.int32)
+
+        for adt, wdt, tag in ((jnp.int8, jnp.int8, f"{m}x{k}x{n}_i8"),
+                              (jnp.int4, jnp.int4, f"{m}x{k}x{n}_i4")):
+            probe(tag, x8, w8, adt, wdt, mm, flops)
+
+
 def main():
     enable_compilation_cache()
     rng = jax.random.PRNGKey(0)
@@ -139,4 +166,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "vit" in sys.argv[1:]:
+        main_vit_shapes()
+    else:
+        main()
