@@ -118,7 +118,19 @@ def get_skeleton(preset: str) -> Skeleton:
     try:
         return _PRESETS[preset]
     except KeyError:
-        raise ValueError(f"joint_preset {preset!r} is undefined") from None
+        if preset == "xR-Egopose":
+            # Config.derive() accepts xR-Egopose for flag parity (the
+            # reference derives estimate_head/stereo for it,
+            # options/dataset_options.py:29-42) but neither codebase
+            # defines its skeleton: the reference's joint tables cover
+            # only UnrealEgo and EgoCap (utils/util.py:10-66).
+            raise ValueError(
+                "joint_preset 'xR-Egopose' has no skeleton preset — the "
+                "reference defines joint tables only for UnrealEgo and "
+                "EgoCap (utils/util.py:10-66); add parents/joint names to "
+                "egotap_tpu/core/skeleton.py to use it") from None
+        raise ValueError(f"joint_preset {preset!r} is undefined; "
+                         f"available: {sorted(_PRESETS)}") from None
 
 
 def bone_vectors(pose: np.ndarray, parents: np.ndarray) -> np.ndarray:

@@ -74,6 +74,17 @@ def evaluate(cfg: Config, task, state, mode: str = "test",
                          if k != "paths"}
                 calib.append({"input_rgb": pre(batch)["input_rgb"]})
         state = task.prepare_inference(state, calib_batches=calib)
+        if calib is not None and jax.process_count() > 1:
+            # each host calibrated on ITS loader shard, so the derived
+            # a_scale trees differ per process; replicate() below assumes
+            # replicated leaves are bit-identical everywhere. Max-reduce
+            # the scales across processes (a_scale = amax/127 is monotone
+            # in amax, so the elementwise max equals calibrating on the
+            # union of all hosts' batches) so every host installs the
+            # same static scales and per-sample int8 outputs stay
+            # host-independent.
+            state = state.replace(
+                frozen=_sync_calibrated_scales(state.frozen))
         if int8_on:
             mode_s = (f"calibrated static ({len(calib)} batches)" if calib
                       else "calibrated static (pre-calibrated state)"
@@ -144,15 +155,19 @@ def evaluate(cfg: Config, task, state, mode: str = "test",
             pred_poses.append(_local_rows(poses[0])[keep])
             gt_poses.append(_local_rows(poses[1])[keep])
 
-    # NOTE: entered on save_result ALONE (not `and pred_poses`) — in a
-    # multi-host run every process must reach the allgather even if its
-    # shard produced zero rows, or the others hang in the collective; an
-    # empty host contributes a zero-row array.
-    if save_result:
+    # Multi-host: entered on save_result ALONE (not `and pred_poses`) —
+    # every process must reach the allgather even if its shard produced
+    # zero rows, or the others hang in the collective; an empty host
+    # contributes a zero-row array. Single-host: skip entirely when the
+    # task emitted no poses (e.g. HeatmapTask) — the reference writes
+    # nothing in that case and a placeholder file would be
+    # indistinguishable from a legitimately empty global result.
+    if save_result and (pred_poses or jax.process_count() > 1):
+        joints = getattr(getattr(task, "cfg", None), "num_joints_out", 1)
         pred = (np.concatenate(pred_poses, axis=0) if pred_poses
-                else np.zeros((0, 1, 3), np.float32))
+                else np.zeros((0, joints, 3), np.float32))
         gt = (np.concatenate(gt_poses, axis=0) if gt_poses
-              else np.zeros((0, 1, 3), np.float32))
+              else np.zeros((0, joints, 3), np.float32))
         paths_arr = np.asarray(input_paths, dtype=object)
         if jax.process_count() > 1:
             # each host holds only its shard's rows; gather everything so
@@ -200,6 +215,42 @@ def evaluate(cfg: Config, task, state, mode: str = "test",
         pairs_per_sec = float(tl[:, 0].sum()) / max(float(tl[:, 1].max()),
                                                     1e-9)
     return means, acc.per_sample, pairs_per_sec
+
+
+def _sync_calibrated_scales(frozen: Dict) -> Dict:
+    """Elementwise max of every 'a_scale' leaf in the pre-quantized
+    ('*_q') frozen trees across processes. Leaves are per-tensor scalars
+    (ops/quant.py:amax_to_qparams); they are flattened into one vector so
+    the sync costs a single allgather."""
+    from jax.experimental import multihost_utils
+    out = dict(frozen)
+    flat_scales, slots = [], []  # slots: (tree key, leaf index, shape)
+    treedefs, leaf_lists = {}, {}
+    for key in [k for k in frozen if k.endswith("_q")]:
+        flat, treedef = jax.tree_util.tree_flatten_with_path(frozen[key])
+        leaves = [v for _, v in flat]
+        treedefs[key], leaf_lists[key] = treedef, leaves
+        for i, (path, v) in enumerate(flat):
+            if getattr(path[-1], "key", None) == "a_scale":
+                arr = np.asarray(v, np.float64)
+                slots.append((key, i, arr.shape, arr.dtype))
+                flat_scales.append(arr.reshape(-1))
+    if not flat_scales:
+        return frozen
+    local = np.concatenate(flat_scales)
+    global_max = np.asarray(
+        multihost_utils.process_allgather(local)).reshape(
+            jax.process_count(), -1).max(axis=0)
+    off = 0
+    for key, i, shape, _dt in slots:
+        n = int(np.prod(shape)) if shape else 1
+        val = global_max[off:off + n].reshape(shape)
+        leaf_lists[key][i] = jnp.asarray(val, jnp.float32)
+        off += n
+    for key in treedefs:
+        out[key] = jax.tree_util.tree_unflatten(treedefs[key],
+                                                leaf_lists[key])
+    return out
 
 
 def _has_calibrated_scales(frozen) -> bool:

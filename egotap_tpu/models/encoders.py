@@ -86,7 +86,7 @@ class HeatmapDecoder(nn.Module):
     @nn.compact
     def __call__(self, z: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         """(B, hidden) latent -> (B, H, W, num_heatmap)."""
-        from egotap_tpu.models.layers import BN_EPS, BN_MOMENTUM, leaky_relu
+        from egotap_tpu.models.layers import TorchBatchNorm, leaky_relu
         b = z.shape[0]
         g = self.heatmap_size // 8
         z = FCBlock(512, name="fc1")(z, train=train)
@@ -97,9 +97,8 @@ class HeatmapDecoder(nn.Module):
             x = nn.ConvTranspose(feats, kernel_size=(4, 4), strides=(2, 2),
                                  padding="SAME",
                                  name=f"deconv{i + 1}")(x)
-            x = nn.BatchNorm(use_running_average=not train,
-                             momentum=BN_MOMENTUM, epsilon=BN_EPS,
-                             name=f"deconv_bn{i + 1}")(x)
+            x = TorchBatchNorm(use_running_average=not train,
+                               name=f"deconv_bn{i + 1}")(x)
             x = leaky_relu(x)
         return x
 

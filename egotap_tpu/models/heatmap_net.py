@@ -61,7 +61,10 @@ class HeatmapUNet(nn.Module):
         q = self.quant
         flat = images.reshape((b * v,) + images.shape[2:])
 
-        pyramid = ResNetEncoder(self.model_name, quant=q,
+        # bn_views: the fold puts view v of sample b at row b*V+v, so
+        # train-mode BN must compute per-view statistics (row i % V) to
+        # match the reference's per-view encoder calls
+        pyramid = ResNetEncoder(self.model_name, quant=q, bn_views=v,
                                 name="backbone")(flat, train=train)
         merged = [_merge_views(f, b, v) for f in pyramid]
         _, _, layer1, layer2, layer3, layer4 = merged

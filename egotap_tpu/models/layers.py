@@ -8,18 +8,24 @@ Mirrors the reference's layer factories (model/network_utils.py:91-148):
     reference, see SURVEY hard-parts note),
   * ``ConvBlock`` — Conv + BatchNorm2d + LeakyReLU(0.2) (``make_conv_layer``).
 
-BatchNorm parity with torch: momentum 0.1 (linen momentum = 0.9),
-eps 1e-5, biased batch variance for normalization, unbiased for the
-running-stat update — flax.linen.BatchNorm matches torch here except for
-the unbiased running-var correction, which `compat.convert` accounts for
-when loading torch checkpoints (inference uses the stored running stats
-directly, so eval-path parity is exact).
+BatchNorm parity with torch: `TorchBatchNorm` reproduces
+torch.nn.BatchNorm{1,2}d exactly — momentum 0.1 (decay 0.9), eps 1e-5,
+biased batch variance for normalization, UNBIASED (Bessel-corrected)
+variance for the running-stat update. flax.linen.BatchNorm differs in the
+last point (it stores the biased variance), which makes running stats
+drift from a torch twin over a training run — relevant because the
+stage-2 frozen heatmap nets keep train-mode BN with evolving running
+stats (reference train.py:91, egotap_autoencoder_model.py:177-216) and
+the eval path consumes them. Variable layout (params scale/bias,
+batch_stats mean/var) is identical to linen's, so checkpoints and the
+`compat` converters are unaffected.
 """
 
 from __future__ import annotations
 
 from typing import Any, Callable, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -31,6 +37,97 @@ LEAKY_SLOPE = 0.2
 
 def leaky_relu(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(x >= 0, x, LEAKY_SLOPE * x)
+
+
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with exact torch.nn.BatchNorm{1,2}d training semantics.
+
+    Differences from flax.linen.BatchNorm (whose variable layout this
+    module keeps: params scale/bias, batch_stats mean/var, all float32):
+
+      * the running variance is updated with the UNBIASED batch variance
+        (Bessel-corrected by n/(n-1), torch modules/batchnorm) while
+        normalization uses the biased variance — linen stores the biased
+        variance in both places;
+      * the batch variance is computed two-pass (mean of squared
+        deviations, like torch's kernels) instead of linen's
+        E[x^2]-E[x]^2, avoiding that form's f32 cancellation error.
+
+    Statistics are computed in float32 regardless of input dtype
+    (matching torch autocast, which runs batch_norm in f32); the output
+    is cast back to the input dtype. Channel axis is the last axis.
+
+    ``stats_groups`` (train mode only): the leading batch axis holds
+    G interleaved groups — row i belongs to group i % G, the layout
+    produced by folding a (B, G, ...) tensor into (B*G, ...). Batch
+    statistics are computed PER GROUP, each group is normalized with its
+    own stats, and the running stats receive G sequential updates in
+    group order. This reproduces the reference's weight-shared backbone
+    exactly: it calls the encoder once per stereo view
+    (net_architecture.py:45-51), so torch BN sees per-view batches and
+    updates running stats twice per step — while the convs here still
+    run one fused (B*V) pass. Caught by
+    tests/test_traj_parity.py::TestStage1Trajectory.
+    """
+
+    use_running_average: bool = False
+    momentum: float = BN_MOMENTUM  # decay; torch momentum = 1 - this
+    epsilon: float = BN_EPS
+    stats_groups: int = 1
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        feat = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((feat,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((feat,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (feat,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (feat,),
+                          jnp.float32)
+        out_dt = self.dtype or x.dtype
+        G = self.stats_groups
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        elif G > 1:
+            assert x.shape[0] % G == 0, (x.shape, G)
+            xg = x.astype(jnp.float32).reshape((-1, G) + x.shape[1:])
+            axes = (0,) + tuple(range(2, xg.ndim - 1))
+            mean = jnp.mean(xg, axes)                      # (G, C)
+            var = jnp.mean(jnp.square(
+                xg - mean.reshape((1, G) + (1,) * (xg.ndim - 3) + (feat,))),
+                axes)
+            if not self.is_initializing():
+                n = x.size // (feat * G)
+                unbiased = var * (n / max(n - 1, 1))
+                rm, rv = ra_mean.value, ra_var.value
+                for g in range(G):                 # sequential, view order
+                    rm = self.momentum * rm + (1 - self.momentum) * mean[g]
+                    rv = (self.momentum * rv
+                          + (1 - self.momentum) * unbiased[g])
+                ra_mean.value, ra_var.value = rm, rv
+            inv = jax.lax.rsqrt(var + self.epsilon) * scale   # (G, C)
+            bshape = (1, G) + (1,) * (xg.ndim - 3) + (feat,)
+            y = ((xg - mean.reshape(bshape)) * inv.reshape(bshape)
+                 + bias)
+            return y.reshape(x.shape).astype(out_dt)
+        else:
+            axes = tuple(range(x.ndim - 1))
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axes)
+            var = jnp.mean(jnp.square(xf - mean), axes)
+            if not self.is_initializing():
+                n = x.size // feat
+                unbiased = var * (n / max(n - 1, 1))
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1.0 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1.0 - self.momentum) * unbiased)
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        y = (x.astype(jnp.float32) - mean) * inv + bias
+        return y.astype(out_dt)
 
 
 class ConvReLU(nn.Module):
@@ -85,13 +182,8 @@ class FCBlock(nn.Module):
         else:
             x = nn.Dense(self.features, name="fc", dtype=x.dtype)(x)
         if self.with_bn:
-            x = nn.BatchNorm(
-                use_running_average=not train,
-                momentum=BN_MOMENTUM,
-                epsilon=BN_EPS,
-                name="bn",
-                dtype=x.dtype,
-            )(x)
+            x = TorchBatchNorm(use_running_average=not train,
+                               name="bn")(x)
         if self.with_relu:
             x = leaky_relu(x)
         return x
@@ -118,13 +210,8 @@ class ConvBlock(nn.Module):
             dtype=x.dtype,
         )(x)
         if self.with_bn:
-            x = nn.BatchNorm(
-                use_running_average=not train,
-                momentum=BN_MOMENTUM,
-                epsilon=BN_EPS,
-                name="bn",
-                dtype=x.dtype,
-            )(x)
+            x = TorchBatchNorm(use_running_average=not train,
+                               name="bn")(x)
         return leaky_relu(x)
 
 

@@ -38,9 +38,13 @@ def feature_expansion(model_name: str) -> int:
     return 1 if kind == "basic" else 4
 
 
-def _bn(name: str, train: bool, dtype):
-    return nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                        epsilon=BN_EPS, name=name, dtype=dtype)
+def _bn(name: str, train: bool, dtype, views: int = 1):
+    # views > 1: per-view batch statistics + sequential running updates,
+    # matching the reference's one-encoder-call-per-view loop
+    # (net_architecture.py:45-51) while the convs run one folded pass
+    from egotap_tpu.models.layers import TorchBatchNorm
+    return TorchBatchNorm(use_running_average=not train, name=name,
+                          stats_groups=views, dtype=dtype)
 
 
 def _conv(features: int, kernel: int, stride: int, name: str, dtype,
@@ -63,11 +67,12 @@ class BasicBlock(nn.Module):
     downsample: bool = False
     groups: int = 1
     quant: bool = False
+    bn_views: int = 1  # train-mode per-view BN statistics (see _bn)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         dt = x.dtype
-        g, q = self.groups, self.quant
+        g, q, v = self.groups, self.quant, self.bn_views
         if q and not train and g == 1:
             # int8 inference: fold BN into the convs so the dequant
             # epilogue is one multiply-add instead of the BN chain
@@ -77,14 +82,14 @@ class BasicBlock(nn.Module):
             return self._folded_inference(x)
         identity = x
         out = _conv(self.features, 3, self.stride, "conv1", dt, g, q)(x)
-        out = _bn("bn1", train, dt)(out)
+        out = _bn("bn1", train, dt, v)(out)
         out = nn.relu(out)
         out = _conv(self.features, 3, 1, "conv2", dt, g, q)(out)
-        out = _bn("bn2", train, dt)(out)
+        out = _bn("bn2", train, dt, v)(out)
         if self.downsample:
             identity = _conv(self.features, 1, self.stride, "downsample_0",
                              dt, g, q)(x)
-            identity = _bn("downsample_1", train, dt)(identity)
+            identity = _bn("downsample_1", train, dt, v)(identity)
         return nn.relu(out + identity)
 
     def _folded_inference(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -125,24 +130,25 @@ class Bottleneck(nn.Module):
     downsample: bool = False
     groups: int = 1
     quant: bool = False
+    bn_views: int = 1  # train-mode per-view BN statistics (see _bn)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         dt = x.dtype
-        g, q = self.groups, self.quant
+        g, q, v = self.groups, self.quant, self.bn_views
         identity = x
         out = _conv(self.features, 1, 1, "conv1", dt, g, q)(x)
-        out = _bn("bn1", train, dt)(out)
+        out = _bn("bn1", train, dt, v)(out)
         out = nn.relu(out)
         out = _conv(self.features, 3, self.stride, "conv2", dt, g, q)(out)
-        out = _bn("bn2", train, dt)(out)
+        out = _bn("bn2", train, dt, v)(out)
         out = nn.relu(out)
         out = _conv(self.features * 4, 1, 1, "conv3", dt, g, q)(out)
-        out = _bn("bn3", train, dt)(out)
+        out = _bn("bn3", train, dt, v)(out)
         if self.downsample:
             identity = _conv(self.features * 4, 1, self.stride,
                              "downsample_0", dt, g, q)(x)
-            identity = _bn("downsample_1", train, dt)(identity)
+            identity = _bn("downsample_1", train, dt, v)(identity)
         return nn.relu(out + identity)
 
 
@@ -278,6 +284,11 @@ class ResNetEncoder(nn.Module):
     # packing) is offset by the phase-extraction pass; default off
     stem_s2d: bool = False
     quant: bool = False  # int8 inference convs (ops/quant.py)
+    # >1: the folded batch interleaves this many stereo views (row i is
+    # view i % bn_views) and train-mode BN computes PER-VIEW statistics
+    # with sequential running updates — matching the reference's
+    # one-encoder-call-per-view loop (net_architecture.py:45-51)
+    bn_views: int = 1
     # fused Pallas int8 layer1 (ops/fused_layer1.py): math-equivalent,
     # parity-tested; shipped OFF because the measured kernel is slower
     # than XLA's bf16 convs on v5e today (Mosaic's int8 dot runs at
@@ -288,14 +299,14 @@ class ResNetEncoder(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool = False):
         kind, depths = RESNET_SPECS[self.model_name]
         block = BasicBlock if kind == "basic" else Bottleneck
-        g = self.groups
+        g, v = self.groups, self.bn_views
         dt = x.dtype
 
         if self.stem_s2d and g == 1 and x.shape[1] % 2 == 0:
             out = S2DStemConv(64, x.shape[-1], name="conv1")(x)
         else:
             out = _conv(64 * g, 7, 2, "conv1", dt, g, self.quant)(x)
-        out = _bn("bn1", train, dt)(out)
+        out = _bn("bn1", train, dt, v)(out)
         layer0 = nn.relu(out)
 
         out = nn.max_pool(layer0, window_shape=(3, 3), strides=(2, 2),
@@ -330,7 +341,7 @@ class ResNetEncoder(nn.Module):
                 out_ch = width * g * (1 if kind == "basic" else 4)
                 need_ds = (stride != 1) or (in_ch != out_ch)
                 out = block(width * g, stride=stride, downsample=need_ds,
-                            groups=g, quant=self.quant,
+                            groups=g, quant=self.quant, bn_views=v,
                             name=f"layer{li}_{bi}")(out, train=train)
             feats.append(out)
 

@@ -72,6 +72,8 @@ class Predictor:
         self._mesh = None
         self._batch_sh = None
         self._place_vars = None
+        self._hm_fn = None
+        self._warned_dynamic_pad = False
         # variables are passed as jit ARGUMENTS, never closed over: a
         # closure would inline ~100M params as HLO constants and compile
         # pathologically slowly (the __graft_entry__.py:39-41 lesson)
@@ -108,11 +110,34 @@ class Predictor:
                     f"batch size {n_valid} not divisible by the "
                     f"{n}-way data axis; pad the batch or re-shard")
             if rem:
+                if ((self._int8_hm or self._int8_lift)
+                        and not self._has_static_scales()
+                        and not self._warned_dynamic_pad):
+                    # with DYNAMIC per-call int8 scales the pad rows shift
+                    # activation amax, so real-row outputs differ slightly
+                    # from the unsharded predictor; calibrate() makes
+                    # padding invariant (warn once per predictor)
+                    import warnings
+                    warnings.warn(
+                        "padding a ragged batch with dynamic int8 "
+                        "activation scales perturbs real-row outputs; "
+                        "call calibrate() for padding-invariant numerics "
+                        "or pass pad_ragged=False", stacklevel=2)
+                    self._warned_dynamic_pad = True
                 x = jnp.concatenate(
                     [x, jnp.zeros((n - rem,) + x.shape[1:], x.dtype)],
                     axis=0)
             x = jax.device_put(x, self._batch_sh)
         return np.asarray(self._fn(self._vars, x))[:n_valid]
+
+    def _has_static_scales(self) -> bool:
+        """True once calibrate() installed static 'a_scale' entries."""
+        def visit(t) -> bool:
+            if isinstance(t, dict):
+                return "a_scale" in t or any(visit(v) for v in t.values())
+            return False
+        return any(visit(v.get("qparams", {})) for v in self._vars
+                   if isinstance(v, dict))
 
     def shard(self, num_devices: int = 0,
               num_model: int = 1) -> "Predictor":
@@ -219,12 +244,17 @@ class Predictor:
         return self
 
     def heatmaps(self, rgb) -> np.ndarray:
-        """Debug path: the concatenated stage-1 heatmap stack."""
-        hv, rv, _ = self._vars
-        x = jnp.asarray(rgb)
-        pos = self.pos_net.apply(hv, x, train=False)
-        rot = self.rot_net.apply(rv, x, train=False)
-        return np.asarray(jnp.concatenate([pos, rot], axis=-1))
+        """Debug path: the concatenated stage-1 heatmap stack. Jitted —
+        an op-by-op forward through the CI TPU relay costs ~37 ms per
+        dispatch (the same trap calibrate() avoids)."""
+        if self._hm_fn is None:
+            def hm_forward(variables, x):
+                hv, rv, _ = variables
+                pos = self.pos_net.apply(hv, x, train=False)
+                rot = self.rot_net.apply(rv, x, train=False)
+                return jnp.concatenate([pos, rot], axis=-1)
+            self._hm_fn = jax.jit(hm_forward)
+        return np.asarray(self._hm_fn(self._vars, jnp.asarray(rgb)))
 
     # ------------------------------------------------------------------
     @classmethod

@@ -65,8 +65,21 @@ def make_schedule(cfg: Config, iters_per_epoch: int) -> Callable:
     return sched
 
 
-def make_optimizer(cfg: Config, iters_per_epoch: int) -> optax.GradientTransformation:
+def make_optimizer(cfg: Config, iters_per_epoch: int,
+                   stage1: bool = False) -> optax.GradientTransformation:
+    """stage1=True reproduces HeatmapSharedModel's optimizer exactly: the
+    reference constructs ``torch.optim.Adam(lr, weight_decay)`` directly
+    (model/heatmap_shared_model.py:70-74) — torch's DEFAULT eps=1e-8, and
+    ``optimizer_type``/``opt_eps`` are never consulted for stage 1 (only
+    stage 2 routes through network.get_optimizer, network.py:58-78)."""
     sched = make_schedule(cfg, iters_per_epoch)
+    if stage1:
+        chain = []
+        if cfg.weight_decay:
+            chain.append(optax.add_decayed_weights(cfg.weight_decay))
+        chain += [optax.scale_by_adam(eps=1e-8),
+                  optax.scale_by_learning_rate(sched)]
+        return optax.chain(*chain)
     if cfg.optimizer_type == "Adam":
         # torch Adam semantics: weight decay is L2 added to the gradient
         chain = []

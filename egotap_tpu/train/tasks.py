@@ -112,7 +112,10 @@ class HeatmapTask:
             # .pth or a native orbax checkpoint directory
             variables = _load_heatmap_variables(
                 self.cfg, self.cfg.path_to_trained_heatmap)
-        self.tx = make_optimizer(self.cfg, iters_per_epoch)
+        # stage 1 always trains with torch-default Adam (eps=1e-8): the
+        # reference never routes HeatmapSharedModel through get_optimizer
+        # (model/heatmap_shared_model.py:70-74)
+        self.tx = make_optimizer(self.cfg, iters_per_epoch, stage1=True)
         return TrainState(
             step=jnp.zeros((), jnp.int32),
             params=variables["params"],
