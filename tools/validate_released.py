@@ -170,6 +170,35 @@ def smoke(tmp_root: str, preset: str = "UnrealEgo"):
     assert all(v == v for v in metrics.values()), metrics  # finite
     print("smoke OK — validation flow runs end to end")
 
+    # reverse direction: JAX -> reference .pth export must strict-load
+    # into the real reference nets with every forwarded tensor bit-equal
+    # (compat/export.py; the unused fc / cls_token / pooler tensors are
+    # synthesized zeros and excluded from the value check)
+    import numpy as np
+    from egotap_tpu.compat.convert import convert_heatmap_net, convert_lifter
+    from egotap_tpu.compat.export import export_heatmap_net, export_lifter
+    from egotap_tpu.compat.torch_loader import load_torch_checkpoint
+    synthesized = ("backbone.fc.", "cls_token", "pooler.")
+    for name, net, conv, exp in (
+            ("HeatMap", pos_net, convert_heatmap_net, export_heatmap_net),
+            ("RotHeatMap", rot_net, convert_heatmap_net, export_heatmap_net),
+            ("AutoEncoder", lifter, convert_lifter, export_lifter)):
+        sd = load_torch_checkpoint(paths[name])
+        exported = exp(conv(sd))
+        missing, unexpected = net.load_state_dict(
+            {k: torch.from_numpy(np.ascontiguousarray(v))
+             for k, v in exported.items()}, strict=True)
+        assert not missing and not unexpected, (name, missing, unexpected)
+        for k, v in net.state_dict().items():
+            if any(s in k for s in synthesized):
+                continue
+            ref = np.asarray(sd[k])
+            got = v.detach().cpu().numpy()
+            assert np.array_equal(ref.astype(got.dtype), got), \
+                f"{name}: exported tensor differs at {k}"
+    print("smoke OK — reverse export strict-loads bit-equal into the "
+          "reference nets")
+
 
 def main():
     ap = argparse.ArgumentParser(
