@@ -136,6 +136,68 @@ class TestUnrealEgoReprocess:
         assert report["category_counts"] == {"001": 3}
         assert os.path.exists(os.path.join(raw, "inuse_train.txt"))
 
+    def test_integrity_checker_raw_branches(self, tmp_path, rng):
+        """Raw JSON/depth/RGB verification (reference
+        check_dataset.py:48-137): valid files pass, corrupt/missing land
+        in corrupt_{json,depth,rgb}_{mode}.txt."""
+        from PIL import Image
+        raw = str(tmp_path / "raw")
+        _make_raw_unrealego(raw, rng)
+        seq = os.path.join(raw, "Mocap", "001", "seq000")
+        # frame_0/1/2 exist; give all frames valid depth+rgb PNGs...
+        for sub, stem in (("fisheye_depth_image", "depth"),
+                          ("fisheye_final_image", "final")):
+            for side in ("camera_left", "camera_right"):
+                d = os.path.join(seq, sub, side)
+                os.makedirs(d)
+                for t in range(3):
+                    Image.new("L", (4, 4)).save(
+                        os.path.join(d, f"{stem}_{t}.png"))
+        # ...then break exactly one of each kind
+        bad_json = os.path.join(seq, "json", "frame_1.json")
+        with open(bad_json, "w") as f:
+            f.write("{not json")
+        bad_depth = os.path.join(seq, "fisheye_depth_image",
+                                 "camera_right", "depth_2.png")
+        with open(bad_depth, "wb") as f:
+            f.write(b"not a png")
+        bad_rgb = os.path.join(seq, "fisheye_final_image",
+                               "camera_left", "final_0.png")
+        os.remove(bad_rgb)  # missing counts as corrupt (bare except)
+
+        cfg = Config(data_dir=raw, default_data_path="./UnrealEgoData").derive()
+        report = check_split(cfg, "train", check_keys=False, check_raw=True)
+        assert report["corrupt_raw"]["json"] == [bad_json]
+        assert report["corrupt_raw"]["depth"] == [bad_depth]
+        assert report["corrupt_raw"]["rgb"] == [bad_rgb]
+        for kind, path in (("json", bad_json), ("depth", bad_depth),
+                           ("rgb", bad_rgb)):
+            out = os.path.join(raw, f"corrupt_{kind}_train.txt")
+            with open(out) as f:
+                assert f.read().strip() == path
+        # per-kind gating mirrors the reference's independent flags
+        report = check_split(cfg, "train", check_keys=False,
+                             check_raw=("json",), write_reports=False)
+        assert report["corrupt_raw"]["json"] == [bad_json]
+        assert report["corrupt_raw"]["depth"] == []
+
+    def test_integrity_checker_metadata_dir_fallback(self, tmp_path, rng):
+        """Raw trees living under a separate metadata root resolve through
+        cfg.metadata_dir (reference check_dataset.py:76-82)."""
+        raw = str(tmp_path / "npys")
+        meta = str(tmp_path / "meta")
+        _make_raw_unrealego(raw, rng)
+        # move the json tree to the metadata root
+        seq_rel = os.path.join("Mocap", "001", "seq000")
+        os.makedirs(os.path.join(meta, seq_rel))
+        os.rename(os.path.join(raw, seq_rel, "json"),
+                  os.path.join(meta, seq_rel, "json"))
+        cfg = Config(data_dir=raw, metadata_dir=(meta,),
+                     default_data_path="./UnrealEgoData").derive()
+        report = check_split(cfg, "train", check_keys=False,
+                             check_raw=("json",), write_reports=False)
+        assert report["corrupt_raw"]["json"] == []
+
 
 class TestEgoCapParsers:
     def test_parse_calibration(self, tmp_path):
