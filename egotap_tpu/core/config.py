@@ -37,6 +37,7 @@ class Config:
     load_size_heatmap: Tuple[int, int] = (64, 64)
     batch_size: int = 16
     num_threads: int = 2                   # host prefetch threads
+    prefetch_batches: int = 2              # packed-loader background depth
     experiment: bool = False               # 100-sample cap fixture
     use_gt_heatmap: bool = False
 

@@ -60,6 +60,9 @@ def make_device_preprocess(cfg: Config):
         out: Dict[str, jnp.ndarray] = {}
         rgb_l = batch["input_rgb_left"]
         rgb_r = batch["input_rgb_right"]
+        if rgb_l.dtype != jnp.float32:  # f16-packed splits (pack_split)
+            rgb_l = rgb_l.astype(jnp.float32)
+            rgb_r = rgb_r.astype(jnp.float32)
         if rgb_l.shape[1] != cfg.image_size:
             shape = rgb_l.shape[:1] + (cfg.image_size, cfg.image_size, 3)
             rgb_l = jax.image.resize(rgb_l, shape, method="bilinear")
@@ -206,6 +209,69 @@ class BatchLoader:
                 yield batch
 
 
+class PrefetchLoader:
+    """Background-thread prefetch over any batch iterable (depth-bounded).
+
+    The packed reader's gather is synchronous; JAX's async dispatch hides
+    it one level deep, but the main thread also blocks on loss syncs,
+    validation, and checkpoint writes — moments when an unwrapped loader
+    sits idle. A daemon thread keeps up to `depth` batches staged (numpy
+    work only, so the GIL is released inside the native gather / np.load).
+    Re-iterable: each __iter__ spawns a fresh thread; abandoning the
+    iterator mid-epoch (watchdog break) stops the thread promptly.
+    """
+
+    def __init__(self, inner, depth: int = 2):
+        self._inner = inner
+        self._depth = max(1, int(depth))
+
+    def __len__(self) -> int:
+        return len(self._inner)
+
+    def __getattr__(self, name):  # delegate reader/indices/... to inner
+        return getattr(self._inner, name)
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self._depth)
+        stop = threading.Event()
+        done = object()
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def worker():
+            try:
+                for b in self._inner:
+                    if not put(b):
+                        return
+                put(done)
+            except BaseException as e:  # re-raised on the consumer side
+                put(e)
+
+        t = threading.Thread(target=worker, daemon=True,
+                             name="egotap-prefetch")
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is done:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+
 class PackedBatchLoader:
     """Batch iterator over a packed .egr split: one native gather per batch
     (no per-frame python work). Same interface/semantics as BatchLoader."""
@@ -274,9 +340,12 @@ def make_loader(cfg: Config, mode: str, category_id: Optional[str] = None):
             indices = np.asarray(
                 [i for i, p in enumerate(reader.paths)
                  if p.split("/")[-4] == category_id])
-        return PackedBatchLoader(reader, cfg.batch_size, shuffle=train,
-                                 drop_last=train, indices=indices,
-                                 seed=cfg.seed)
+        loader = PackedBatchLoader(reader, cfg.batch_size, shuffle=train,
+                                   drop_last=train, indices=indices,
+                                   seed=cfg.seed)
+        if cfg.prefetch_batches > 0:
+            return PrefetchLoader(loader, depth=cfg.prefetch_batches)
+        return loader
     ds = FrameDataset(cfg, mode, category_id)
     return BatchLoader(ds, cfg.batch_size, shuffle=train, drop_last=train,
                        num_threads=cfg.num_threads, seed=cfg.seed)
@@ -327,10 +396,13 @@ def make_host_sharded_loader(cfg: Config, mode: str,
         from egotap_tpu.native.recordio import RecordReader
         reader = RecordReader(packed, num_threads=cfg.num_threads)
         indices, num_batches = shard_plan(reader.num_records)
-        return PackedBatchLoader(reader, local_bs, shuffle=train,
-                                 drop_last=train, indices=indices,
-                                 seed=cfg.seed + host_index,
-                                 num_batches=num_batches)
+        loader = PackedBatchLoader(reader, local_bs, shuffle=train,
+                                   drop_last=train, indices=indices,
+                                   seed=cfg.seed + host_index,
+                                   num_batches=num_batches)
+        if cfg.prefetch_batches > 0:
+            return PrefetchLoader(loader, depth=cfg.prefetch_batches)
+        return loader
 
     ds = FrameDataset(cfg, mode, category_id)
     indices, num_batches = shard_plan(len(ds))

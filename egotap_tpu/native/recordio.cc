@@ -153,4 +153,43 @@ int egr_gather(void* handle, const uint64_t* indices, uint64_t n,
   return 0;
 }
 
+// Field-major batch gather: for each field f, the batch's values land
+// contiguously at outs[f] (n * field_bytes[f]), i.e. already in the
+// (batch, *field_shape) layout numpy wants. One pass over the mmap'd
+// payload, no record-major intermediate, zero python-side copies —
+// the python wrapper hands the buffers straight to np.frombuffer.
+int egr_gather_fields(void* handle, const uint64_t* indices, uint64_t n,
+                      uint8_t** outs, const uint64_t* field_bytes,
+                      uint32_t num_threads) {
+  auto* r = static_cast<Reader*>(handle);
+  const uint64_t rb = r->hdr.record_bytes;
+  const uint32_t nf = r->hdr.num_fields;
+  for (uint64_t i = 0; i < n; ++i) {
+    if (indices[i] >= r->hdr.num_records) return -1;
+  }
+  auto copy_range = [&](uint64_t lo, uint64_t hi) {
+    for (uint64_t i = lo; i < hi; ++i) {
+      const uint8_t* rec = r->payload + indices[i] * rb;
+      for (uint32_t f = 0; f < nf; ++f) {
+        std::memcpy(outs[f] + i * field_bytes[f],
+                    rec + r->fields[f].offset, field_bytes[f]);
+      }
+    }
+  };
+  if (num_threads <= 1 || n < 2) {
+    copy_range(0, n);
+    return 0;
+  }
+  uint32_t t = std::min<uint64_t>(num_threads, n);
+  std::vector<std::thread> workers;
+  uint64_t chunk = (n + t - 1) / t;
+  for (uint32_t w = 0; w < t; ++w) {
+    uint64_t lo = w * chunk, hi = std::min<uint64_t>(n, lo + chunk);
+    if (lo >= hi) break;
+    workers.emplace_back(copy_range, lo, hi);
+  }
+  for (auto& th : workers) th.join();
+  return 0;
+}
+
 }  // extern "C"

@@ -6,7 +6,8 @@ import numpy as np
 import pytest
 
 from egotap_tpu.data.dataset import FrameDataset
-from egotap_tpu.data.pipeline import PackedBatchLoader, make_loader
+from egotap_tpu.data.pipeline import (PackedBatchLoader, PrefetchLoader,
+                                      make_loader)
 from egotap_tpu.data.synthetic import generate_dataset, synthetic_config
 from egotap_tpu.native import recordio
 
@@ -53,7 +54,8 @@ def test_make_loader_uses_packed(packed_root):
     cfg = synthetic_config(packed_root, load_size_heatmap=(16, 16),
                            batch_size=4)
     loader = make_loader(cfg, "validation")
-    assert isinstance(loader, PackedBatchLoader)
+    assert isinstance(loader, PrefetchLoader)  # background-prefetch wrapper
+    assert isinstance(loader._inner, PackedBatchLoader)
     batches = list(loader)
     assert len(batches) == 3
     assert batches[-1]["mask"].sum() == 2
@@ -63,6 +65,64 @@ def test_make_loader_uses_packed(packed_root):
     ds = FrameDataset(cfg2, "validation")
     np.testing.assert_array_equal(
         batches[0]["input_rgb_left"][0], ds[0]["input_rgb_left"])
+
+
+def test_prefetch_wrapper_semantics(packed_root):
+    cfg = synthetic_config(packed_root, load_size_heatmap=(16, 16),
+                           batch_size=4)
+    loader = make_loader(cfg, "validation")
+    # re-iterable: two full epochs yield identical batch counts/content
+    e1, e2 = list(loader), list(loader)
+    assert len(e1) == len(e2) == len(loader) == 3
+    np.testing.assert_array_equal(e1[0]["input_rgb_left"],
+                                  e2[0]["input_rgb_left"])
+    # early break (watchdog path) must not wedge subsequent epochs
+    for b in loader:
+        break
+    assert len(list(loader)) == 3
+
+    # worker exceptions propagate to the consumer
+    class Boom:
+        def __iter__(self):
+            yield {"x": np.zeros(1)}
+            raise RuntimeError("boom")
+
+        def __len__(self):
+            return 2
+
+    it = iter(PrefetchLoader(Boom(), depth=2))
+    next(it)
+    with pytest.raises(RuntimeError, match="boom"):
+        next(it)
+
+
+def test_f16_pack_roundtrip(tmp_path):
+    root = str(tmp_path)
+    generate_dataset(root, "UnrealEgo", num_sequences=1, frames_per_seq=5,
+                     image_size=16)
+    cfg = synthetic_config(root, load_size_heatmap=(16, 16), batch_size=4)
+    out = recordio.pack_split(cfg, "train", rgb_dtype="float16")
+    reader = recordio.RecordReader(out)
+    ds = FrameDataset(cfg, "train")
+    assert reader.num_records == len(ds)  # streamed-count back-patch
+    batch = reader.gather(np.arange(4))
+    assert batch["input_rgb_left"].dtype == np.float16
+    # RGB within f16 rounding; non-RGB fields bit-exact
+    np.testing.assert_allclose(
+        batch["input_rgb_left"][1].astype(np.float32),
+        ds[1]["input_rgb_left"], rtol=1e-3, atol=1e-3)
+    np.testing.assert_array_equal(batch["gt_local_pose"][2],
+                                  ds[2]["gt_local_pose"])
+
+    # the jitted device preprocess casts f16 feeds back to f32
+    from egotap_tpu.data.pipeline import make_device_preprocess
+    import jax.numpy as jnp
+    loader = make_loader(cfg, "train")
+    pre = make_device_preprocess(cfg)
+    b = next(iter(loader))
+    b.pop("paths", None)
+    feed = pre({k: jnp.asarray(v) for k, v in b.items()})
+    assert feed["input_rgb"].dtype == jnp.float32
 
 
 def test_category_filter_packed(packed_root):

@@ -12,7 +12,10 @@ not the chip; on a real TPU host the feed is PCIe DMA and the overlap
 excluded) and (b) the pipeline overlaps (total wall < sum of transfer +
 compute).
 
-Run: python tools/check_eval_throughput.py
+Run: python tools/check_eval_throughput.py [f32|serving]
+`f32` measures the reference-parity path (use_amp=False, no int8 — the
+exact configuration cli/test.py forces, test_options parity); `serving`
+(default) measures the calibrated-int8 deployment config.
 """
 
 import json
@@ -38,13 +41,15 @@ def main() -> None:
         generate_dataset(root, "UnrealEgo", num_sequences=4,
                          frames_per_seq=33, image_size=64)
 
+    mode = sys.argv[1] if len(sys.argv) > 1 else "serving"
+    serving = mode != "f32"
     cfg = synthetic_config(
         root, "UnrealEgo", model="egotap_autoencoder",
         num_heatmap=15, num_rot_heatmap=15, heatmap_type="sin",
         skel_layer="PU", ae_hidden_size=128, patched_heatmap_ae=True,
-        load_size_heatmap=(64, 64), batch_size=32, use_amp=True,
+        load_size_heatmap=(64, 64), batch_size=32, use_amp=serving,
         niter=1, niter_decay=15,
-        int8_heatmap_inference=True, int8_lifter_inference=True)
+        int8_heatmap_inference=serving, int8_lifter_inference=serving)
 
     task = LifterTask(cfg)
     cpu = jax.local_devices(backend="cpu")[0]
@@ -54,13 +59,14 @@ def main() -> None:
     rgb = np.random.default_rng(0).normal(
         size=(32, 2, 256, 256, 3)).astype(np.float32)
     state = task.prepare_inference(
-        state, calib_batches=[{"input_rgb": rgb}])
+        state, calib_batches=[{"input_rgb": rgb}] if serving else None)
 
     t0 = time.perf_counter()
     metrics, _, pps = evaluate(cfg, task, state, mode="test")
     wall = time.perf_counter() - t0
     print(json.dumps({
         "metric": "cli_eval_pairs_per_sec",
+        "mode": mode,
         "pairs_per_sec": round(pps, 1),
         "wall_s": round(wall, 1),
         "mpjpe_finite": bool(np.isfinite(metrics.get("mpjpe", np.nan))),

@@ -25,6 +25,10 @@ def main():
     ap.add_argument("--data_prefix", default="")
     ap.add_argument("--modes", nargs="+",
                     default=["train", "validation", "test"])
+    ap.add_argument("--rgb_dtype", default=None, choices=[None, "float16"],
+                    help="pack stereo RGB as float16 (halves the pack size "
+                         "and doubles feed rate; device preprocess casts "
+                         "back to f32 — skip for bit-exact f32 parity runs)")
     args = ap.parse_args()
 
     cfg = Config(data_dir=args.data_dir,
@@ -32,7 +36,7 @@ def main():
                  joint_preset=args.joint_preset,
                  data_prefix=args.data_prefix).derive()
     for mode in args.modes:
-        out = pack_split(cfg, mode)
+        out = pack_split(cfg, mode, rgb_dtype=args.rgb_dtype)
         print(f"packed {mode} -> {out}")
 
 

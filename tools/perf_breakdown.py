@@ -1,14 +1,18 @@
-"""Component-level timing + MFU accounting on the real chip.
+"""Component-level timing + MFU + roofline accounting on the real chip.
 
 Usage: python tools/perf_breakdown.py [component ...]
-Components: heatmaps lifter metrics evalfull
+Components: heatmaps lifter metrics evalfull (add `int8` for the
+calibrated serving config)
 
 For each component prints: compile time, best ms/iter (amortized inside a
 lax.scan so the relay's per-dispatch latency cancels), pairs/s, the XLA
-cost-analysis FLOP count for ONE iteration, achieved TFLOP/s, and the
-percentage of the chip's bf16 peak (EGOTAP_PEAK_TFLOPS env override;
-default 197 = TPU v5e bf16). This substantiates the MFU claims in
-BASELINE.md/docs with checkable arithmetic rather than estimates.
+cost-analysis FLOP count AND bytes-accessed for ONE iteration, achieved
+TFLOP/s and GB/s, and the ROOFLINE FLOOR — max(flops/peak_compute,
+bytes/peak_bw) — with the achieved time as a multiple of that floor.
+Peaks: EGOTAP_PEAK_TFLOPS (default 197 = v5e bf16; int8 convs run at up
+to 2x this but we keep the bf16 peak so the floor is conservative) and
+EGOTAP_PEAK_GBPS (default 819 = v5e HBM). This substantiates the MFU and
+"HBM-bound" claims in BASELINE.md/docs with checkable arithmetic.
 """
 
 import os
@@ -27,19 +31,28 @@ from egotap_tpu.train.tasks import LifterTask
 BATCH = 32
 K = 16
 PEAK_TFLOPS = float(os.environ.get("EGOTAP_PEAK_TFLOPS", "197"))
+PEAK_GBPS = float(os.environ.get("EGOTAP_PEAK_GBPS", "819"))
 
 
-def component_flops(fn, *args) -> float:
-    """XLA cost-analysis FLOPs of one un-scanned iteration."""
+def component_cost(fn, *args):
+    """XLA cost-analysis (flops, bytes accessed) of one un-scanned
+    iteration. `bytes accessed` counts HBM traffic XLA expects for the
+    fused program (operand + output bytes per fusion, incl. parameter
+    reads), which is the right numerator for a bandwidth roofline."""
     try:
         compiled = jax.jit(fn).lower(0, *args).compile()
         cost = compiled.cost_analysis()
         if isinstance(cost, list):  # older jax returns [dict]
             cost = cost[0]
-        return float(cost.get("flops", float("nan")))
+        return (float(cost.get("flops", float("nan"))),
+                float(cost.get("bytes accessed", float("nan"))))
     except Exception as e:  # cost analysis is best-effort on some backends
         print(f"  (cost analysis unavailable: {e})")
-        return float("nan")
+        return float("nan"), float("nan")
+
+
+def component_flops(fn, *args) -> float:
+    return component_cost(fn, *args)[0]
 
 
 def timed_scan(fn, *args, k=K, label="", min_diff_s=0.05):
@@ -88,12 +101,23 @@ def timed_scan(fn, *args, k=K, label="", min_diff_s=0.05):
         k = min(k, 1 << 16)
     per_iter = max(diff, 1e-9) / (3 * k)
 
-    flops = component_flops(fn, *args)
+    flops, nbytes = component_cost(fn, *args)
     tflops = flops / per_iter / 1e12
     pct = 100.0 * tflops / PEAK_TFLOPS
-    print(f"{label:12s} compile {compile_s:6.1f}s  {per_iter * 1e3:8.2f} ms"
-          f"  {BATCH / per_iter:8.1f} pairs/s  {flops / 1e9:8.1f} GFLOP"
-          f"  {tflops:7.1f} TF/s  {pct:5.1f}% of {PEAK_TFLOPS:.0f}TF peak")
+    gbps = nbytes / per_iter / 1e9
+    # roofline floor: this program can't run faster than its FLOPs at
+    # peak compute nor its HBM traffic at peak bandwidth
+    floor_s = max(flops / (PEAK_TFLOPS * 1e12), nbytes / (PEAK_GBPS * 1e9))
+    bound = "mem" if nbytes / (PEAK_GBPS * 1e9) >= flops / (
+        PEAK_TFLOPS * 1e12) else "flop"
+    line = (f"{label:12s} compile {compile_s:6.1f}s  {per_iter * 1e3:8.2f} ms"
+            f"  {BATCH / per_iter:8.1f} pairs/s  {flops / 1e9:8.1f} GFLOP"
+            f"  {tflops:7.1f} TF/s  {pct:5.1f}% peak"
+            f"  {nbytes / 1e6:8.1f} MB  {gbps:6.0f} GB/s")
+    if floor_s > 0:  # NaN-safe: skip the floor columns if cost analysis failed
+        line += (f"  floor {floor_s * 1e3:6.2f} ms ({bound})"
+                 f" = {per_iter / floor_s:4.1f}x")
+    print(line)
     return per_iter, flops
 
 
@@ -129,8 +153,10 @@ def main():
                            jnp.float32)
     pose = jax.random.normal(jax.random.PRNGKey(4), (BATCH, 16, 3))
 
-    print(f"batch {BATCH}, bf16 compute (use_amp), peak {PEAK_TFLOPS:.0f} "
-          f"TFLOP/s (override with EGOTAP_PEAK_TFLOPS)")
+    mode = ("bf16 + int8 calibrated (serving config)" if int8
+            else "bf16 compute (use_amp)")
+    print(f"batch {BATCH}, {mode}, peaks {PEAK_TFLOPS:.0f} TFLOP/s bf16 / "
+          f"{PEAK_GBPS:.0f} GB/s HBM (EGOTAP_PEAK_TFLOPS / EGOTAP_PEAK_GBPS)")
 
     results = {}
     if "heatmaps" in which:
